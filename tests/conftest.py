@@ -1,0 +1,33 @@
+"""Test configuration: force CPU with 8 virtual devices and enable x64.
+
+Mirrors the reference's CI hygiene (deterministic seeds, CPU-only public
+runners — ``/root/reference/.github/workflows/tests.yaml:15-22,70``) and gives
+every test session a virtual 8-device mesh for multi-chip sharding tests.
+Must run before the first ``import jax`` anywhere in the test process.
+"""
+
+import os
+import sys
+
+# Tests run CPU-only: drop the TPU-tunnel plugin from the path (its discovery
+# can block for minutes even under JAX_PLATFORMS=cpu).
+sys.path = [p for p in sys.path if ".axon_site" not in p]
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.RandomState(0)
