@@ -1,0 +1,177 @@
+"""The Allegro two-track layer stack (scalar latents + strided tensor track).
+
+TPU-native re-implementation of the reference ``Allegro_Module``
+(``allegro/nn/_allegro.py``). Architecture contract preserved:
+
+- Irreps ladder: forward pass allows ``tensor_track_allowed_irreps`` per layer
+  (last layer only ``0e``), pruned to irreps reachable from
+  ``input ⊗ sh``; then a backward pass prunes irreps that cannot reach the
+  final scalars (``_allegro.py:112-154``).
+- A linear "first layer projection" maps two-body scalars to the initial
+  scalar features + first env weights (``_allegro.py:90-94``).
+- Per layer: env-weight the SH basis into channels, contract against the
+  tensor features with the environment sum fused in
+  (``scatter_factor = 1/sqrt(avg_num_neighbors)``, ``_allegro.py:179-183``),
+  extract exactly one scalar (``n_scalar_outs = 1`` — the leading ``0e``;
+  pseudo-scalars stay in the tensor track, ``_allegro.py:186-189``), then a
+  latent MLP on the densenet-style concat of all previous scalar features
+  (``_allegro.py:192-213``), sliced into next scalar features + next env
+  weights (``_allegro.py:283-294``).
+- Output: concat of all ``num_layers + 1`` scalar feature blocks
+  (``_allegro.py:217-223``).
+
+Everything is static-shape: the ladder, path sets, and slice boundaries are
+computed at module-construction time on the host; the traced computation is a
+fixed sequence of gathers, segment-sums, matmuls, and einsums.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import math
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..data import keys
+from ..lib.irreps import Irrep, Irreps, tp_path_exists
+from .channels import MakeWeightedChannels
+from .contract import Contracter
+from .mlp import ScalarMLP
+
+
+def compute_irreps_ladder(
+    irreps_sh: Irreps, allowed: Irreps, num_layers: int
+) -> List[Irreps]:
+    """Per-layer tensor-track irreps: [input, out_0, ..., out_{L-1}]."""
+    irreps_sh = Irreps(irreps_sh)
+    allowed = Irreps(allowed).sorted().merged()
+    ladder = [irreps_sh]
+    for layer in range(num_layers):
+        targets = Irreps("1x0e") if layer == num_layers - 1 else allowed
+        out = Irreps(
+            [
+                (1, mi.ir)
+                for mi in targets
+                if tp_path_exists(ladder[-1], irreps_sh, mi.ir)
+            ]
+        )
+        assert len(out) > 0 and out[0].ir == Irrep("0e"), (
+            f"layer {layer}: ladder must start with 0e, got {out}"
+        )
+        ladder.append(out)
+    # backward prune: keep only irreps that can still produce a wanted output
+    for layer in reversed(range(num_layers)):
+        wanted = ladder[layer + 1]
+        kept = []
+        for mi in ladder[layer]:
+            if any(
+                any(ir in [w.ir for w in wanted] for ir in mi.ir * sh.ir)
+                for sh in irreps_sh
+            ):
+                kept.append((1, mi.ir))
+        ladder[layer] = Irreps(kept)
+    return ladder
+
+
+def _subset_dims(full: Irreps, subset: Irreps) -> List[int]:
+    """Basis-dim indices of ``subset``'s irreps inside ``full`` (ordered)."""
+    dims: List[int] = []
+    used = set()
+    full_slices = full.slices()
+    for mi in subset:
+        for k, fmi in enumerate(full):
+            if fmi.ir == mi.ir and k not in used:
+                used.add(k)
+                dims.extend(range(full_slices[k].start, full_slices[k].stop))
+                break
+        else:
+            raise ValueError(f"{mi} not found in {full}")
+    return dims
+
+
+class AllegroLayers(nn.Module):
+    """Consumes EDGE_EMBEDDING/EDGE_ATTRS/EDGE_FEATURES, writes EDGE_SCALARS."""
+
+    irreps_sh: str
+    tensor_track_allowed_irreps: str
+    num_layers: int = 2
+    num_scalar_features: int = 64
+    num_tensor_features: int = 16
+    avg_num_neighbors: float = 1.0
+    mlp_hidden_dims: Sequence[int] = (64,)
+    tp_path_channel_coupling: bool = True
+    weight_individual_irreps: bool = True
+    param_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        irreps_sh = Irreps(self.irreps_sh)
+        # NOTE: only store plain data (strings/ints) on self — flax freezes
+        # attributes, destroying tuple subclasses like Irreps.
+        ladder = compute_irreps_ladder(
+            irreps_sh, Irreps(self.tensor_track_allowed_irreps), self.num_layers
+        )
+        self._env_weighter = MakeWeightedChannels(
+            irreps_sh, self.num_tensor_features, self.weight_individual_irreps
+        )
+        S = self.num_scalar_features
+        env_numel = self._env_weighter.weight_numel
+        # linear first-layer projection: two-body scalars -> scalars_0 + env_w_0
+        self.first_projection = ScalarMLP(
+            S + env_numel, hidden_dims=(), param_dtype=self.param_dtype
+        )
+        scatter_factor = 1.0 / math.sqrt(self.avg_num_neighbors)
+        tps = []
+        latents = []
+        for layer in range(self.num_layers):
+            tps.append(
+                Contracter(
+                    irreps_in1=str(ladder[layer]),
+                    irreps_in2=str(irreps_sh),
+                    irreps_out=str(ladder[layer + 1]),
+                    mul=self.num_tensor_features,
+                    path_channel_coupling=self.tp_path_channel_coupling,
+                    scatter_factor=scatter_factor,
+                    param_dtype=self.param_dtype,
+                )
+            )
+            last = layer == self.num_layers - 1
+            latents.append(
+                ScalarMLP(
+                    S + (0 if last else env_numel),
+                    hidden_dims=tuple(self.mlp_hidden_dims),
+                    param_dtype=self.param_dtype,
+                )
+            )
+        self.tps = tps
+        self.latents = latents
+        self._ladder_strs = tuple(str(l) for l in ladder)
+        # layer-0 tensor-feature slice if backward pruning shrank the input
+        if ladder[0] == irreps_sh:
+            self._input_dims = None
+        else:
+            self._input_dims = tuple(_subset_dims(irreps_sh, ladder[0]))
+
+    def __call__(self, data: Dict) -> Dict:
+        S = self.num_scalar_features
+        n_atoms = data[keys.POSITIONS].shape[0]
+        centers = data[keys.EDGE_INDEX][0]
+        sh = data[keys.EDGE_ATTRS].astype(self.param_dtype)
+        features = data[keys.EDGE_FEATURES]
+        if self._input_dims is not None:
+            features = features[:, :, jnp.asarray(self._input_dims)]
+        proj = self.first_projection(data[keys.EDGE_EMBEDDING])
+        scalar_blocks = [proj[:, :S]]
+        env_w = proj[:, S:]
+        for layer in range(self.num_layers):
+            weighted_sh = self._env_weighter(sh, env_w)  # [E, mul, dim_sh]
+            features = self.tps[layer](features, weighted_sh, centers, n_atoms)
+            tp_scalars = features[:, :, 0]  # leading 0e per channel: [E, mul]
+            latent_in = jnp.concatenate(scalar_blocks + [tp_scalars], axis=-1)
+            lat = self.latents[layer](latent_in)
+            scalar_blocks.append(lat[:, :S])
+            env_w = lat[:, S:]
+        out = dict(data)
+        out[keys.EDGE_SCALARS] = jnp.concatenate(scalar_blocks, axis=-1)
+        return out

@@ -1,0 +1,47 @@
+"""Broadcast a single-channel tensor basis into ``mul`` weighted channels.
+
+Role of the reference's ``MakeWeightedChannels``
+(``allegro/nn/_strided/_channels.py:15-63``): take the spherical-harmonic
+basis ``[E, dim]`` (multiplicity 1) and per-edge learned weights, and produce
+strided tensor features ``[E, mul, dim]`` with one weight per (channel, irrep)
+when ``weight_individual_irreps`` (the default), else one per channel.
+
+Stateless: the weights are *inputs* (sliced from the latent track), not
+parameters — so this is a plain function-object, not a module.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..lib.irreps import Irreps
+
+
+class MakeWeightedChannels:
+    def __init__(self, irreps_in, multiplicity_out: int, weight_individual_irreps: bool = True):
+        self.irreps_in = Irreps(irreps_in)
+        assert all(mi.mul == 1 for mi in self.irreps_in), "basis must be multiplicity-1"
+        self.mul_out = int(multiplicity_out)
+        self.weight_individual_irreps = bool(weight_individual_irreps)
+        if weight_individual_irreps:
+            # 0/1 expansion: weight index -> basis dims of that irrep
+            n_ir = len(self.irreps_in)
+            rtoi = np.zeros((n_ir, self.irreps_in.dim))
+            for k, sl in enumerate(self.irreps_in.slices()):
+                rtoi[k, sl] = 1.0
+            self._rtoi = rtoi
+            self.weight_numel = self.mul_out * n_ir
+        else:
+            self._rtoi = None
+            self.weight_numel = self.mul_out
+
+    def __call__(self, edge_attr, weights):
+        """edge_attr [E, dim], weights [E, weight_numel] → [E, mul, dim]."""
+        E = edge_attr.shape[0]
+        if self.weight_individual_irreps:
+            w = weights.reshape(E, self.mul_out, len(self.irreps_in))
+            w_full = w @ jnp.asarray(self._rtoi, dtype=weights.dtype)  # [E, mul, dim]
+        else:
+            w_full = weights.reshape(E, self.mul_out, 1)
+        return edge_attr[:, None, :] * w_full

@@ -1,0 +1,90 @@
+"""Edge geometry: vectors, lengths, normalized lengths, edge types.
+
+Covers nequip's ``with_edge_vectors_`` and ``EdgeLengthNormalizer`` as
+consumed by the reference (``allegro/nn/tensorembed.py:9,86``,
+``allegro/model/allegro_models.py:153-157``).
+
+Geometry is computed in the dtype of the incoming positions — float64 on host
+CPU paths when x64 is enabled (mirroring the reference's ``_GLOBAL_DTYPE``
+split, ``allegro/nn/spline.py:5,27``), float32 on TPU — and cast to the model
+dtype downstream.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..data import keys
+
+
+def with_edge_vectors(data: Dict, recompute: bool = False) -> Dict:
+    """Attach EDGE_VECTORS/EDGE_LENGTH: ``r_ij = pos[j] - pos[i] + shift @ cell``."""
+    if not recompute and keys.EDGE_VECTORS in data and keys.EDGE_LENGTH in data:
+        return data
+    pos = data[keys.POSITIONS]
+    centers, neighbors = data[keys.EDGE_INDEX][0], data[keys.EDGE_INDEX][1]
+    vec = jnp.take(pos, neighbors, axis=0) - jnp.take(pos, centers, axis=0)
+    if keys.CELL in data and keys.EDGE_CELL_SHIFT in data:
+        cell = data[keys.CELL]
+        if cell.ndim == 2:
+            cell = cell[None]
+        if keys.BATCH in data:
+            edge_frame = jnp.take(data[keys.BATCH], centers, axis=0)
+        else:
+            edge_frame = jnp.zeros_like(centers)
+        edge_cell = jnp.take(cell, edge_frame, axis=0)  # [E, 3, 3]
+        shift = data[keys.EDGE_CELL_SHIFT].astype(vec.dtype)
+        vec = vec + jnp.einsum("es,esr->er", shift, edge_cell.astype(vec.dtype))
+    out = dict(data)
+    out[keys.EDGE_VECTORS] = vec
+    # NaN-safe norm: padded edges have zero vectors, and d|v|/dv at v=0 is
+    # NaN, which would poison force gradients even after masking. The
+    # double-where keeps the gradient path finite (padded edges get r = 0).
+    n2 = jnp.sum(vec * vec, axis=-1, keepdims=True)
+    safe = jnp.where(n2 > 0, n2, 1.0)
+    out[keys.EDGE_LENGTH] = jnp.where(n2 > 0, jnp.sqrt(safe), 0.0)
+    return out
+
+
+class EdgeLengthNormalizer:
+    """Compute ``NORM_LENGTH = r / r_max`` (optionally per-edge-type cutoffs)
+    and the flattened ``EDGE_TYPE = center_type * n_types + neighbor_type``.
+
+    Stateless (cutoffs are static config), so a plain callable.
+    """
+
+    def __init__(
+        self,
+        r_max: float,
+        num_types: int,
+        per_edge_type_cutoff: Optional[np.ndarray] = None,
+    ):
+        self.r_max = float(r_max)
+        self.num_types = int(num_types)
+        if per_edge_type_cutoff is not None:
+            cut = np.asarray(per_edge_type_cutoff, dtype=np.float64)
+            assert cut.shape == (num_types, num_types)
+            assert (cut <= r_max + 1e-12).all(), "per-edge-type cutoffs must be <= r_max"
+            self._flat_cutoffs = cut.reshape(-1)
+        else:
+            self._flat_cutoffs = None
+
+    def __call__(self, data: Dict) -> Dict:
+        data = with_edge_vectors(data)
+        out = dict(data)
+        centers, neighbors = data[keys.EDGE_INDEX][0], data[keys.EDGE_INDEX][1]
+        types = data[keys.ATOM_TYPES]
+        edge_type = jnp.take(types, centers) * self.num_types + jnp.take(types, neighbors)
+        out[keys.EDGE_TYPE] = edge_type.astype(jnp.int32)
+        r = data[keys.EDGE_LENGTH]
+        if self._flat_cutoffs is not None:
+            rc = jnp.take(
+                jnp.asarray(self._flat_cutoffs, dtype=r.dtype), out[keys.EDGE_TYPE]
+            )[:, None]
+            out[keys.NORM_LENGTH] = r / rc
+        else:
+            out[keys.NORM_LENGTH] = r / jnp.asarray(self.r_max, dtype=r.dtype)
+        return out

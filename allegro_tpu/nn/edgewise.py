@@ -1,0 +1,43 @@
+"""Edge→atom scatter reductions.
+
+Role of the reference ``EdgewiseReduce`` (``allegro/nn/edgewise.py:40-59``):
+scatter-sum a per-edge field into a per-atom field over the edge centers,
+with an optional static pre-scale factor for numerics (the builder passes
+``1/sqrt(2*avg_num_neighbors)``, ``allegro/model/allegro_models.py:242-248``).
+
+Padded edges carry exactly-zero fields (see scalar_embed), so the scatter is
+mask-free; ``num_segments`` is the static padded atom count.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..data import keys
+
+
+class EdgewiseReduce:
+    """Stateless scatter-sum of ``field`` into ``out_field`` over edge centers."""
+
+    def __init__(
+        self,
+        field: str = keys.EDGE_ENERGY,
+        out_field: str = keys.PER_ATOM_ENERGY,
+        factor: Optional[float] = None,
+    ):
+        self.field = field
+        self.out_field = out_field
+        self.factor = factor
+
+    def __call__(self, data: Dict) -> Dict:
+        x = data[self.field]
+        if self.factor is not None:
+            x = x * jnp.asarray(self.factor, dtype=x.dtype)
+        n_atoms = data[keys.POSITIONS].shape[0]
+        centers = data[keys.EDGE_INDEX][0]
+        out = dict(data)
+        out[self.out_field] = jax.ops.segment_sum(x, centers, num_segments=n_atoms)
+        return out

@@ -1,0 +1,56 @@
+"""Scalar MLPs with forward-variance-preserving initialization.
+
+Fills the role of nequip's ``ScalarMLP`` / ``ScalarMLPFunction`` consumed at
+reference ``allegro/nn/_allegro.py:33,90-94`` and
+``allegro/model/allegro_models.py:173-183``: bias-free linear layers whose
+weights are drawn ``N(0, 1/fan_in)`` so activations keep unit variance at init
+("forward_weight_init"), SiLU nonlinearity between hidden layers, and an
+``is_nonlinear``-style contract (a single-layer MLP is exactly linear — the
+Allegro first-layer projection asserts this, ``allegro/nn/_allegro.py:94``).
+
+Bias-free is also what makes padded (zero-embedding) edges stay exactly zero
+through every MLP — a structural invariant the static-shape padding relies on.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+def forward_weight_init(key, shape, dtype=jnp.float32):
+    """N(0, 1/fan_in): unit-variance activations at init for bias-free layers."""
+    import jax
+
+    fan_in = shape[0]
+    return jax.random.normal(key, shape, dtype) / jnp.sqrt(jnp.asarray(fan_in, dtype))
+
+
+class ScalarMLP(nn.Module):
+    """Bias-free MLP: ``[in] -> hidden_dims -> [out]`` with SiLU between layers.
+
+    ``hidden_dims=()`` gives a single linear layer (no nonlinearity anywhere).
+    """
+
+    output_dim: int
+    hidden_dims: Sequence[int] = ()
+    nonlinearity: Optional[Callable] = nn.silu
+    param_dtype: jnp.dtype = jnp.float32
+
+    @property
+    def is_nonlinear(self) -> bool:
+        return len(self.hidden_dims) > 0 and self.nonlinearity is not None
+
+    @nn.compact
+    def __call__(self, x):
+        dims = (*self.hidden_dims, self.output_dim)
+        for k, d in enumerate(dims):
+            w = self.param(
+                f"w{k}", forward_weight_init, (x.shape[-1], d), self.param_dtype
+            )
+            x = x @ w.astype(x.dtype)
+            if k < len(dims) - 1 and self.nonlinearity is not None:
+                x = self.nonlinearity(x)
+        return x

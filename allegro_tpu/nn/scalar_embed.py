@@ -1,0 +1,99 @@
+"""Two-body radial × chemistry scalar embeddings.
+
+The two interchangeable embeddings the reference selects by config
+(``allegro/nn/scalarembed.py``, SURVEY.md C9):
+
+- ``TwoBodyBesselScalarEmbed``: Bessel radial encoding × polynomial cutoff,
+  times a product-of-type-embeddings chemistry factor
+  (``ProductTypeEmbedding``, ``allegro/nn/_edgeembed.py:49-84``).
+- ``TwoBodySplineScalarEmbed``: a per-edge-type learned spline of the
+  normalized length (``allegro/nn/scalarembed.py:159-174``).
+
+Both write ``EDGE_EMBEDDING`` (and ``EDGE_CUTOFF``), multiplied by
+``EDGE_MASK`` — the masking that keeps every padded edge identically zero
+through the whole network (see ``allegro_tpu/data/atomic_data.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..data import keys
+from .cutoffs import PolynomialCutoff, bessel_basis
+from .mlp import ScalarMLP
+from .spline import PerClassSpline
+
+
+def _edge_mask(data: Dict, like) -> jnp.ndarray:
+    if keys.EDGE_MASK in data:
+        return data[keys.EDGE_MASK].astype(like.dtype)[:, None]
+    return jnp.ones((like.shape[0], 1), dtype=like.dtype)
+
+
+class TwoBodyBesselScalarEmbed(nn.Module):
+    """Bessel(norm_length) × cutoff → linear → × (center ⊗ neighbor type embed)."""
+
+    num_types: int
+    output_dim: int = 64
+    num_bessels: int = 8
+    polynomial_cutoff_p: int = 6
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, data: Dict) -> Dict:
+        u = data[keys.NORM_LENGTH][:, 0]
+        dtype = self.param_dtype
+        cutoff = PolynomialCutoff(self.polynomial_cutoff_p)(u)[:, None].astype(dtype)
+        radial = bessel_basis(u, self.num_bessels).astype(dtype) * cutoff
+        radial_proj = ScalarMLP(
+            self.output_dim, hidden_dims=(), name="radial_proj", param_dtype=dtype
+        )(radial)
+        half = self.output_dim // 2
+        assert 2 * half == self.output_dim, "output_dim must be even"
+        center_embed = nn.Embed(self.num_types, half, name="center_type_embed", param_dtype=dtype)
+        neighbor_embed = nn.Embed(self.num_types, half, name="neighbor_type_embed", param_dtype=dtype)
+        centers, neighbors = data[keys.EDGE_INDEX][0], data[keys.EDGE_INDEX][1]
+        types = data[keys.ATOM_TYPES]
+        chem = jnp.concatenate(
+            [center_embed(jnp.take(types, centers)), neighbor_embed(jnp.take(types, neighbors))],
+            axis=-1,
+        )
+        emb = radial_proj * chem
+        out = dict(data)
+        mask = _edge_mask(data, emb)
+        out[keys.EDGE_CUTOFF] = cutoff * mask
+        out[keys.EDGE_EMBEDDING] = emb * mask
+        return out
+
+
+class TwoBodySplineScalarEmbed(nn.Module):
+    """Per-edge-type spline of normalized length → EDGE_EMBEDDING."""
+
+    num_types: int
+    output_dim: int = 64
+    num_splines: int = 8
+    spline_span: float = 1.0
+    polynomial_cutoff_p: int = 6
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, data: Dict) -> Dict:
+        u = data[keys.NORM_LENGTH][:, 0].astype(self.param_dtype)
+        edge_type = data[keys.EDGE_TYPE]
+        emb = PerClassSpline(
+            num_classes=self.num_types * self.num_types,
+            channels=self.output_dim,
+            num_splines=self.num_splines,
+            span=self.spline_span,
+            name="spline",
+            param_dtype=self.param_dtype,
+        )(u, edge_type)
+        out = dict(data)
+        mask = _edge_mask(data, emb)
+        cutoff = PolynomialCutoff(self.polynomial_cutoff_p)(u)[:, None].astype(emb.dtype)
+        out[keys.EDGE_CUTOFF] = cutoff * mask
+        out[keys.EDGE_EMBEDDING] = emb * mask
+        return out

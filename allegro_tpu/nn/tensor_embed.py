@@ -1,0 +1,52 @@
+"""Two-body spherical-harmonic tensor embedding.
+
+Role of the reference ``TwoBodySphericalHarmonicTensorEmbed``
+(``allegro/nn/tensorembed.py:85-96``): project edge unit vectors onto real
+spherical harmonics ("component" normalization) to form the tensor *basis*
+(``EDGE_ATTRS``, multiplicity 1), and weight that basis into ``mul`` channels
+with per-edge weights linearly projected from the scalar embedding to form the
+initial tensor *features* (``EDGE_FEATURES`` in strided ``[E, mul, dim]``
+layout).
+
+Geometry/SH math runs in the positions' dtype (float64 on x64 hosts,
+mirroring ``tensorembed.py:83,92``) then casts to the model dtype.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..data import keys
+from ..lib.irreps import Irreps
+from ..lib.spherical_harmonics import spherical_harmonics
+from .channels import MakeWeightedChannels
+from .edge_geometry import with_edge_vectors
+from .mlp import ScalarMLP
+
+
+class TwoBodySphericalHarmonicTensorEmbed(nn.Module):
+    irreps_sh: str  # e.g. "1x0e+1x1o+1x2e"
+    mul: int  # num_tensor_features
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, data: Dict) -> Dict:
+        irreps = Irreps(self.irreps_sh)
+        data = with_edge_vectors(data)
+        vec = data[keys.EDGE_VECTORS]
+        ls = [mi.ir.l for mi in irreps]
+        sh = spherical_harmonics(ls, vec, normalize=True).astype(self.param_dtype)
+        weighter = MakeWeightedChannels(irreps, self.mul, weight_individual_irreps=True)
+        weights = ScalarMLP(
+            weighter.weight_numel, hidden_dims=(), name="env_embed_linear",
+            param_dtype=self.param_dtype,
+        )(data[keys.EDGE_EMBEDDING])
+        out = dict(data)
+        out[keys.EDGE_ATTRS] = sh
+        # padded edges: weights are exactly 0 (zero embedding through a
+        # bias-free linear), so features vanish there
+        out[keys.EDGE_FEATURES] = weighter(sh, weights)
+        return out
