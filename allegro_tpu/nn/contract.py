@@ -132,9 +132,9 @@ class Contracter(nn.Module):
         x2_atoms = jax.ops.segment_sum(x2, centers, num_segments=n_atoms)
         return jnp.take(x2_atoms, centers, axis=0)
 
-    def contract(self, x1, x2):
-        """The bare CG contraction (no env aggregation) — the correctness
-        oracle the kernel backends are tested against."""
+    def contract_reference(self, x1, x2):
+        """Direct three-operand einsum — the correctness oracle the optimized
+        paths and kernel backends are tested against."""
         dtype = x1.dtype
         w3j = jnp.asarray(self._w3j, dtype=dtype)
         w = self.path_weights.astype(dtype)
@@ -143,6 +143,36 @@ class Contracter(nn.Module):
             return jnp.einsum("zui,zuj,uijk->zuk", x1, x2, ww)
         ww = jnp.einsum("p,pijk->ijk", w, w3j)
         return jnp.einsum("zui,zuj,ijk->zuk", x1, x2, ww)
+
+    def contract(self, x1, x2):
+        """CG contraction, decomposed as a static loop over the first input's
+        basis dims: ``out += x1[..., i:i+1] * (x2 @ WW[:, i])``.
+
+        XLA's direct lowering of the three-operand einsum materializes a
+        ``[E, mul, d1, d3]`` (or ``[E, mul, d1, d2]``) HBM temporary — ~1.5 GB
+        at production edge counts, 7x slower on TPU (measured). The loop form
+        keeps one ``[E, mul, d3]`` accumulator that XLA fuses into the matmul
+        epilogue. The Pallas backend in ``allegro_tpu.ops`` fuses further.
+        """
+        dtype = x1.dtype
+        w3j = jnp.asarray(self._w3j, dtype=dtype)
+        w = self.path_weights.astype(dtype)
+        d1 = x1.shape[-1]
+        if self.path_channel_coupling:
+            ww = jnp.einsum("up,pijk->uijk", w, w3j)  # [U, d1, d2, d3]
+            out = None
+            for i in range(d1):
+                y = jnp.einsum("zuj,ujk->zuk", x2, ww[:, i])
+                t = x1[:, :, i : i + 1] * y
+                out = t if out is None else out + t
+            return out
+        ww = jnp.einsum("p,pijk->ijk", w, w3j)  # [d1, d2, d3]
+        out = None
+        for i in range(d1):
+            y = x2 @ ww[i]
+            t = x1[:, :, i : i + 1] * y
+            out = t if out is None else out + t
+        return out
 
     def __call__(self, x1, x2, centers, n_atoms: int):
         x2_env = self.env_sum(x2, centers, n_atoms)

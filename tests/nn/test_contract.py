@@ -90,6 +90,17 @@ def test_env_sum_semantics(rng):
     np.testing.assert_allclose(out, out_manual, atol=1e-10)
 
 
+@pytest.mark.parametrize("coupling", [True, False])
+def test_optimized_contract_matches_reference(coupling, rng):
+    irr = ("1x0e+1x1o+1x2e", "1x0e+1x1o+1x2e", "1x0e+1x0o+1x1e+1x1o+1x2e+1x2o")
+    c = _make(irr, coupling)
+    x1, x2, centers, n_atoms = _random_inputs(rng, irr)
+    params = c.init(jax.random.PRNGKey(0), x1, x2, centers, n_atoms)
+    a = c.apply(params, x1, x2, method=lambda m, p, q: m.contract(p, q))
+    b = c.apply(params, x1, x2, method=lambda m, p, q: m.contract_reference(p, q))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+
+
 def test_scalar_path_is_product(rng):
     """0e x 0e -> 0e with a single path reduces to w * x1 * x2 (env-summed)."""
     irr = ("1x0e", "1x0e", "1x0e")
