@@ -1,0 +1,267 @@
+"""MD simulation driver: jitted integrators + host re-neighboring.
+
+Architecture (TPU-first re-design of the LAMMPS/pair_allegro MD step,
+SURVEY.md §3.4):
+
+- The inner loop — velocity Verlet (+ optional Langevin thermostat) against
+  the model's forces — is ONE jitted function running ``steps_per_block``
+  steps via ``lax.scan`` on device, with a *fixed* neighbor list.
+- The neighbor list is built on the host with a skin margin
+  (``r_max + skin``) and is re-used until any atom has moved more than
+  ``skin/2``; rebuilds pad into *sticky bucket* sizes (grow-only, rounded to
+  ``edge_multiple``) so the jitted step never sees a new shape → zero
+  recompiles across the run (SURVEY.md §7.3 bucket note).
+- Multi-chip: the padded edge set is split evenly across a device mesh
+  ('dp' axis); every device holds the full (replicated) positions, computes
+  the energy of its edge shard, and XLA all-reduces the force contributions
+  over ICI. Strict locality makes this exact — the same property
+  pair_allegro's MPI decomposition exploits (``allegro/_compile.py:28-63``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import keys, round_up, to_jax
+from ..data.neighborlist import primitive_neighbor_list
+
+
+@dataclasses.dataclass
+class MDState:
+    positions: np.ndarray  # [N, 3]
+    velocities: np.ndarray  # [N, 3]
+    step: int = 0
+
+
+def kinetic_energy(velocities, masses) -> float:
+    v = np.asarray(velocities)
+    return float(0.5 * (np.asarray(masses)[:, None] * v * v).sum())
+
+
+def temperature(velocities, masses, k_B: float = 1.0) -> float:
+    n = len(velocities)
+    return 2.0 * kinetic_energy(velocities, masses) / (3.0 * n * k_B)
+
+
+class Simulation:
+    def __init__(
+        self,
+        model,
+        params,
+        atom_types: np.ndarray,
+        masses: np.ndarray,  # per-type masses
+        r_max: float,
+        dt: float = 1e-3,
+        cell: Optional[np.ndarray] = None,
+        pbc=(False, False, False),
+        skin: float = 0.5,
+        steps_per_block: int = 10,
+        edge_multiple: int = 1024,
+        mesh: Optional[jax.sharding.Mesh] = None,
+        dtype=np.float32,
+        langevin_gamma: Optional[float] = None,
+        langevin_kT: float = 0.0,
+        seed: int = 0,
+    ):
+        self.model = model
+        self.params = params
+        self.types = np.asarray(atom_types, dtype=np.int32)
+        self.n_atoms = len(self.types)
+        self.masses_per_atom = np.asarray(masses, dtype=np.float64)[self.types]
+        self.r_max = float(r_max)
+        self.skin = float(skin)
+        self.dt = float(dt)
+        self.cell = None if cell is None else np.asarray(cell, dtype=np.float64).reshape(3, 3)
+        self.pbc = np.asarray(pbc, dtype=bool)
+        self.steps_per_block = int(steps_per_block)
+        self.edge_multiple = int(edge_multiple)
+        self.dtype = dtype
+        self.langevin_gamma = langevin_gamma
+        self.langevin_kT = float(langevin_kT)
+        self._rng_key = jax.random.PRNGKey(seed)
+        if mesh is None:
+            mesh = jax.sharding.Mesh(np.array(jax.devices()[:1]), ("dp",))
+        self.mesh = mesh
+        self.n_dev = int(np.prod(mesh.devices.shape))
+        self._edge_bucket = 0
+        self._block_fn = None
+        self._ref_positions: Optional[np.ndarray] = None
+        self._static: Dict = {}
+        self.recompiles = 0
+        self.rebuilds = 0
+        # Constant per-atom energy (type shifts): with edge shards replicated
+        # over D devices the model would count it D times — compute it once
+        # (all edges masked) and subtract (D-1)x in the energy.
+        self._e_const = self._compute_e_const()
+
+    def _compute_e_const(self) -> float:
+        data = {
+            keys.POSITIONS: jnp.zeros((self.n_atoms, 3), self.dtype),
+            keys.ATOM_TYPES: jnp.asarray(self.types),
+            keys.EDGE_INDEX: jnp.zeros((2, 2), jnp.int32),
+            keys.EDGE_CELL_SHIFT: jnp.zeros((2, 3), self.dtype),
+            keys.EDGE_MASK: jnp.zeros(2, bool),
+        }
+        out = self.model.apply(self.params, data)
+        return float(out[keys.TOTAL_ENERGY].sum())
+
+    # --- neighbor management ---
+    def _needs_rebuild(self, positions: np.ndarray) -> bool:
+        if self._ref_positions is None:
+            return True
+        disp = positions - self._ref_positions
+        return bool((np.linalg.norm(disp, axis=1) > 0.5 * self.skin).any())
+
+    def _wrap(self, positions: np.ndarray) -> np.ndarray:
+        """Wrap positions into the cell along periodic axes (required for the
+        image-enumeration neighbor list to see all neighbors)."""
+        if self.cell is None or not self.pbc.any():
+            return positions
+        frac = positions @ np.linalg.inv(self.cell)
+        frac[:, self.pbc] -= np.floor(frac[:, self.pbc])
+        return frac @ self.cell
+
+    def _rebuild(self, positions: np.ndarray):
+        i, j, shifts = primitive_neighbor_list(
+            positions, self.r_max + self.skin, self.cell, self.pbc
+        )
+        E = len(i)
+        per_dev = round_up(max(-(-E // self.n_dev), 1), self.edge_multiple)
+        bucket = per_dev * self.n_dev
+        if bucket > self._edge_bucket:
+            if self._edge_bucket:
+                self.recompiles += 1
+            self._edge_bucket = bucket
+            self._block_fn = None  # force re-jit at the new bucket size
+        bucket = self._edge_bucket
+        order = np.argsort(i, kind="stable")
+        i, j, shifts = i[order], j[order], shifts[order]
+        eidx = np.zeros((2, bucket), dtype=np.int32)
+        eidx[0, :E], eidx[1, :E] = i, j
+        sh = np.zeros((bucket, 3))
+        sh[:E] = shifts
+        mask = np.zeros(bucket, dtype=bool)
+        mask[:E] = True
+        D = self.n_dev
+        static = {
+            keys.ATOM_TYPES: self.types,
+            keys.EDGE_INDEX: eidx.reshape(2, D, bucket // D).transpose(1, 0, 2),
+            keys.EDGE_CELL_SHIFT: sh.reshape(D, bucket // D, 3),
+            keys.EDGE_MASK: mask.reshape(D, bucket // D),
+        }
+        if self.cell is not None:
+            static[keys.CELL] = np.broadcast_to(self.cell[None], (1, 3, 3))
+            static[keys.PBC] = self.pbc[None]
+        self._static = to_jax(static, dtype=self.dtype)
+        self._ref_positions = positions.copy()
+        self.rebuilds += 1
+
+    # --- compiled block step ---
+    def _make_block_fn(self):
+        model = self.model
+        params = self.params
+        dt = self.dt
+        inv_m = jnp.asarray(1.0 / self.masses_per_atom, dtype=self.dtype)[:, None]
+        n_atoms = self.n_atoms
+        steps = self.steps_per_block
+        gamma = self.langevin_gamma
+        kT = self.langevin_kT
+        e_const = jnp.asarray(self._e_const, dtype=self.dtype)
+        masses = jnp.asarray(self.masses_per_atom, dtype=self.dtype)[:, None]
+        P = jax.sharding.PartitionSpec
+        data_sh = jax.sharding.NamedSharding(self.mesh, P("dp"))
+        rep_sh = jax.sharding.NamedSharding(self.mesh, P())
+
+        def energy(pos, static):
+            def row(shard):
+                data = {
+                    keys.POSITIONS: pos,
+                    keys.ATOM_TYPES: shard[keys.ATOM_TYPES],
+                    keys.EDGE_INDEX: shard[keys.EDGE_INDEX],
+                    keys.EDGE_CELL_SHIFT: shard[keys.EDGE_CELL_SHIFT],
+                    keys.EDGE_MASK: shard[keys.EDGE_MASK],
+                }
+                if keys.CELL in shard:
+                    data[keys.CELL] = shard[keys.CELL]
+                    data[keys.PBC] = shard[keys.PBC]
+                out = model.apply(params, data)
+                return out[keys.TOTAL_ENERGY].sum()
+
+            # edge shards on the leading axis; positions replicated.
+            per_shard = jax.vmap(
+                row,
+                in_axes=(
+                    {
+                        k: (None if k in (keys.ATOM_TYPES, keys.CELL, keys.PBC) else 0)
+                        for k in static
+                    },
+                ),
+            )(static)
+            # per-atom constant (type shifts) is counted once per shard
+            n_shards = per_shard.shape[0]
+            return per_shard.sum() - (n_shards - 1) * e_const
+
+        force_fn = jax.grad(energy, argnums=0)
+
+        def block(pos, vel, static, key):
+            def one_step(carry, _):
+                pos, vel, f, key = carry
+                vel = vel + (0.5 * dt) * f * inv_m
+                pos = pos + dt * vel
+                f = -force_fn(pos, static)
+                vel = vel + (0.5 * dt) * f * inv_m
+                if gamma is not None:
+                    key, sub = jax.random.split(key)
+                    c1 = jnp.exp(-gamma * dt)
+                    sigma = jnp.sqrt(kT * (1 - c1**2) / masses).astype(pos.dtype)
+                    noise = jax.random.normal(sub, vel.shape, dtype=pos.dtype)
+                    vel = c1 * vel + sigma * noise
+                return (pos, vel, f, key), None
+
+            f0 = -force_fn(pos, static)
+            (pos, vel, f, key), _ = jax.lax.scan(
+                one_step, (pos, vel, f0, key), None, length=steps
+            )
+            e_pot = energy(pos, static)
+            return pos, vel, e_pot, key
+
+        static_ax = {
+            k: (rep_sh if k in (keys.ATOM_TYPES, keys.CELL, keys.PBC) else data_sh)
+            for k in self._static
+        }
+        return jax.jit(
+            block,
+            in_shardings=(rep_sh, rep_sh, static_ax, rep_sh),
+            out_shardings=(rep_sh, rep_sh, rep_sh, rep_sh),
+        )
+
+    # --- public API ---
+    def run(self, state: MDState, n_steps: int, callback: Optional[Callable] = None) -> MDState:
+        pos = np.asarray(state.positions, dtype=np.float64)
+        vel = np.asarray(state.velocities, dtype=np.float64)
+        done = 0
+        while done < n_steps:
+            if self._needs_rebuild(pos):
+                pos = self._wrap(pos)
+                self._rebuild(pos)
+            if self._block_fn is None:
+                self._block_fn = self._make_block_fn()
+            p, v, e_pot, self._rng_key = self._block_fn(
+                jnp.asarray(pos, self.dtype),
+                jnp.asarray(vel, self.dtype),
+                self._static,
+                self._rng_key,
+            )
+            pos = np.asarray(jax.device_get(p), dtype=np.float64)
+            vel = np.asarray(jax.device_get(v), dtype=np.float64)
+            done += self.steps_per_block
+            state = MDState(pos, vel, state.step + self.steps_per_block)
+            if callback is not None:
+                callback(state, float(e_pot))
+        return state

@@ -202,6 +202,7 @@ def FullAllegroEnergyModel(
     per_type_energy_shifts_trainable: bool = False,
     pair_potential: Optional[Dict] = None,
     model_dtype: str = "float32",
+    tp_kernel_backend: str = "einsum",
     **_unused,
 ) -> Model:
     dtype = jnp.float64 if str(model_dtype) == "float64" else jnp.float32
@@ -264,6 +265,7 @@ def FullAllegroEnergyModel(
                 tp_path_channel_coupling=tp_path_channel_coupling,
                 weight_individual_irreps=weight_individual_irreps,
                 param_dtype=dtype,
+                tp_kernel_backend=tp_kernel_backend,
             ),
         ),
         (

@@ -104,6 +104,7 @@ class AllegroLayers(nn.Module):
     tp_path_channel_coupling: bool = True
     weight_individual_irreps: bool = True
     param_dtype: jnp.dtype = jnp.float32
+    tp_kernel_backend: str = "einsum"  # or "pallas"
 
     def setup(self):
         irreps_sh = Irreps(self.irreps_sh)
@@ -134,6 +135,7 @@ class AllegroLayers(nn.Module):
                     path_channel_coupling=self.tp_path_channel_coupling,
                     scatter_factor=scatter_factor,
                     param_dtype=self.param_dtype,
+                    kernel_backend=self.tp_kernel_backend,
                 )
             )
             last = layer == self.num_layers - 1

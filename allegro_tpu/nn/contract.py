@@ -97,6 +97,10 @@ class Contracter(nn.Module):
     scatter_factor: Optional[float] = None  # e.g. 1/sqrt(avg_num_neighbors)
     irrep_normalization: str = "component"
     param_dtype: jnp.dtype = jnp.float32
+    # "einsum" (XLA loop-over-i) or "pallas" (fused sparse-CG kernel).
+    # Swapping backends keeps the parameter pytree identical (the reference
+    # guarantees the same via state_dict transfer, _contract.py:277,305-306).
+    kernel_backend: str = "einsum"
 
     def setup(self):
         irreps_in1 = Irreps(self.irreps_in1)
@@ -117,6 +121,12 @@ class Contracter(nn.Module):
             shape,
             self.param_dtype,
         )
+        if self.kernel_backend == "pallas":
+            from ..ops.pallas_contract import PallasTPBackend
+
+            self._pallas = PallasTPBackend(self._w3j)
+        else:
+            self._pallas = None
 
     @property
     def num_paths(self) -> int:
@@ -176,4 +186,7 @@ class Contracter(nn.Module):
 
     def __call__(self, x1, x2, centers, n_atoms: int):
         x2_env = self.env_sum(x2, centers, n_atoms)
+        if self._pallas is not None:
+            w = self.path_weights.astype(x1.dtype)
+            return self._pallas(x1, x2_env, w)
         return self.contract(x1, x2_env)
