@@ -1,0 +1,127 @@
+"""Deploy-path tests: ghost-atom conversion consistency (mirrors reference
+``tests/utils/test_compile_utils.py``) and AOT export round-trip."""
+
+import numpy as np
+import pytest
+
+from allegro_tpu.compile import (
+    COMPILE_TARGETS,
+    collapse_ghost_forces,
+    export_model,
+    ghost_atom_conversion,
+    load_exported,
+)
+from allegro_tpu.data import batch_frames, keys, to_jax
+from allegro_tpu.data.neighborlist import neighbor_list
+from allegro_tpu.model import AllegroModel
+
+
+def _periodic_frame(rng, n=8, a=2.4):
+    side = 2
+    grid = np.stack(np.meshgrid(*(np.arange(side),) * 3, indexing="ij"), -1).reshape(-1, 3)
+    pos = grid * a + 0.1 * rng.randn(8, 3)
+    return {
+        keys.POSITIONS: pos,
+        keys.ATOM_TYPES: rng.randint(0, 2, 8).astype(np.int32),
+        keys.CELL: np.eye(3) * side * a,
+        keys.PBC: np.ones(3, bool),
+    }
+
+
+def test_ghost_conversion_preserves_edge_lengths(rng):
+    fr = neighbor_list(_periodic_frame(rng), 2.6)
+    pos, (ci, cj) = fr[keys.POSITIONS], fr[keys.EDGE_INDEX]
+    cell = fr[keys.CELL]
+    r_pbc = np.linalg.norm(
+        pos[cj] - pos[ci] + fr[keys.EDGE_CELL_SHIFT] @ cell, axis=1
+    )
+    g = ghost_atom_conversion(fr)
+    gp, (gi, gj) = g[keys.POSITIONS], g[keys.EDGE_INDEX]
+    assert keys.CELL not in g and keys.EDGE_CELL_SHIFT not in g
+    r_ghost = np.linalg.norm(gp[gj] - gp[gi], axis=1)
+    np.testing.assert_allclose(np.sort(r_ghost), np.sort(r_pbc), atol=1e-12)
+    # ghosts carry their owner's type
+    owner = g["_ghost_owner"]
+    assert (g[keys.ATOM_TYPES] == fr[keys.ATOM_TYPES][owner]).all()
+
+
+def _model():
+    return AllegroModel(
+        r_max=2.6,
+        type_names=["A", "B"],
+        l_max=1,
+        num_layers=1,
+        num_scalar_features=8,
+        num_tensor_features=4,
+        scalar_embed_mlp_hidden_layers_width=8,
+        allegro_mlp_hidden_layers_width=8,
+        readout_mlp_hidden_layers_width=8,
+        avg_num_neighbors=6.0,
+        per_type_energy_scales=1.0,
+        per_type_energy_shifts=0.0,
+        model_dtype="float64",
+    )
+
+
+def test_ghost_forces_match_pbc(rng):
+    """Model evaluated on the ghost-format frame gives the same energy and
+    (owner-collapsed) forces as on the periodic frame — validating the
+    strict-locality deployment contract end to end."""
+    model = _model()
+    fr = neighbor_list(_periodic_frame(rng), 2.6)
+    n = fr[keys.POSITIONS].shape[0]
+    b = to_jax(batch_frames([fr], n_frames=1, edge_multiple=1), dtype=np.float64)
+    params = model.init(0, b)
+    out_pbc = model(params, b)
+
+    g = ghost_atom_conversion(fr)
+    owner = g.pop("_ghost_owner")
+    g.pop(keys.TOTAL_ENERGY, None)
+    bg = to_jax(batch_frames([g], n_frames=1, edge_multiple=1), dtype=np.float64)
+    out_g = model(params, bg)
+    # total energy: edge energies identical; per-atom shifts now count ghosts!
+    # compare per-atom energies of real atoms instead
+    np.testing.assert_allclose(
+        np.asarray(out_g[keys.PER_ATOM_ENERGY])[:n],
+        np.asarray(out_pbc[keys.PER_ATOM_ENERGY])[:n],
+        atol=1e-10,
+    )
+    n_tot = bg[keys.POSITIONS].shape[0]
+    owner_padded = np.concatenate([owner, np.arange(len(owner), n_tot)])
+    f = collapse_ghost_forces(np.asarray(out_g[keys.FORCES]), owner_padded, n_tot)[:n]
+    np.testing.assert_allclose(f, np.asarray(out_pbc[keys.FORCES])[:n], atol=1e-9)
+
+
+def test_target_registry():
+    t = COMPILE_TARGETS["pair_allegro"]
+    assert keys.POSITIONS in t.inputs and keys.FORCES in t.outputs
+
+
+def test_export_roundtrip(rng):
+    model = _model()
+    fr = neighbor_list(_periodic_frame(rng), 2.6)
+    g = ghost_atom_conversion(fr)
+    g.pop("_ghost_owner")
+    n, e = g[keys.POSITIONS].shape[0], g[keys.EDGE_INDEX].shape[1]
+    n_pad, e_pad = n + 4, e + 16
+    b = to_jax(
+        batch_frames([g], n_atoms=n_pad, n_edges=e_pad, n_frames=1), dtype=np.float64
+    )
+    params = model.init(0, b)
+    direct = model(params, b)
+    blob = export_model(model, params, n_atoms=n_pad, n_edges=e_pad, dtype=np.float64)
+    loaded = load_exported(blob)
+    pos = np.zeros((n_pad, 3)); pos[:n] = g[keys.POSITIONS]
+    ei = np.zeros((2, e_pad), np.int32); ei[:, :e] = g[keys.EDGE_INDEX]
+    at = np.zeros(n_pad, np.int32); at[:n] = g[keys.ATOM_TYPES]
+    nm = np.zeros(n_pad, bool); nm[:n] = True
+    em = np.zeros(e_pad, bool); em[:e] = True
+    out = loaded(pos, ei, at, nm, em)
+    np.testing.assert_allclose(
+        np.asarray(out[keys.FORCES]), np.asarray(direct[keys.FORCES]), atol=1e-10
+    )
+    np.testing.assert_allclose(
+        float(np.asarray(out[keys.TOTAL_ENERGY]).sum()),
+        float(np.asarray(direct[keys.TOTAL_ENERGY]).sum()),
+        atol=1e-10,
+    )
