@@ -200,12 +200,36 @@ class PallasTPBackend:
         self.n_paths, self.d1, self.d2, self.d3 = w3j_packed.shape
         self.block_edges = block_edges
 
+    LANES = 128
+
     def __call__(self, x1, x2, w):
-        U = x1.shape[1]
+        E, U = x1.shape[0], x1.shape[1]
         if w.ndim == 1:  # "p" mode: same path weights for all channels
             w_pu = jnp.broadcast_to(w[:, None], (self.n_paths, U))
         else:  # [U, P] -> [P, U]
             w_pu = w.T
+        # Lane packing: the contraction is elementwise over (edge, channel),
+        # so flatten (E, U) onto the 128-lane axis regardless of U — the
+        # per-path weight pattern has period U and tiles exactly.
+        L = self.LANES
+        if U <= L and L % U == 0:
+            rows_per_lane_group = L // U
+            Ep = -(-E // rows_per_lane_group) * rows_per_lane_group
+            pad = Ep - E
+
+            def pack(x, d):
+                if pad:
+                    x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+                xdm = jnp.transpose(x, (2, 0, 1))  # [d, Ep, U]
+                return xdm.reshape(d, Ep * U // L, L)
+
+            w_tiled = jnp.tile(w_pu, (1, rows_per_lane_group))  # adjoint: sum
+            out = tp_contract_dim_major(
+                pack(x1, self.d1), pack(x2, self.d2), w_tiled.astype(x1.dtype),
+                self.entries, self.d1, self.d2, self.d3, self.block_edges,
+            )
+            out = out.reshape(self.d3, Ep, U)[:, :E]
+            return jnp.transpose(out, (1, 2, 0))
         x1dm = jnp.transpose(x1, (2, 0, 1))
         x2dm = jnp.transpose(x2, (2, 0, 1))
         out = tp_contract_dim_major(

@@ -1,0 +1,307 @@
+"""Spatial domain decomposition with ghost-atom halo exchange.
+
+The scalable multi-chip MD/inference scheme — the ICI-native re-design of
+``pair_allegro``'s MPI spatial decomposition (SURVEY.md §2.3, §3.4;
+ghost-atom contract at reference ``allegro/_compile.py:28-63``):
+
+- Space is split into ``D`` slabs along one cell axis (slab width must be
+  ≥ r_max, so halos only touch nearest neighbors).
+- Each device owns the atoms of one slab (padded to a common static size)
+  plus **ghost slots** for boundary atoms of its two neighbors.
+- Every step, owners send boundary-atom positions to neighbors via
+  ``jax.lax.ppermute`` (one hop left + one hop right over the ring);
+  receivers add the static periodic-seam shift. Local neighbor lists (built
+  host-side at rebuild) reference owned + ghost atoms; only owned-centered
+  edges exist, so strict locality makes per-device energies exactly
+  decomposable.
+- Forces: each device differentiates its local energy wrt owned AND ghost
+  positions; ghost contributions ride the reverse ppermute back and are
+  scatter-added onto the owners.
+
+Everything static-shaped: send/recv lists, ghost slots, and per-device edge
+buffers are padded host-side; the per-step function is one ``shard_map``-ed
+jitted program with two ppermutes each way.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import keys, round_up
+from ..data.neighborlist import primitive_neighbor_list
+
+
+class SlabDecomposition:
+    def __init__(
+        self,
+        positions: np.ndarray,
+        atom_types: np.ndarray,
+        cell: Optional[np.ndarray],
+        pbc,
+        r_max: float,
+        mesh: jax.sharding.Mesh,
+        axis: int = 0,
+        skin: float = 0.0,
+        atom_multiple: int = 8,
+        edge_multiple: int = 128,
+        dtype=np.float32,
+    ):
+        self.mesh = mesh
+        self.axis_name = mesh.axis_names[0]
+        self.D = int(np.prod(mesh.devices.shape))
+        self.r_max = float(r_max) + float(skin)
+        self.axis = int(axis)
+        self.dtype = dtype
+        positions = np.asarray(positions, dtype=np.float64)
+        atom_types = np.asarray(atom_types, dtype=np.int32)
+        self.n_atoms = len(positions)
+        pbc = np.asarray(pbc, dtype=bool)
+        self.pbc = pbc
+        if cell is None:
+            # open boundaries: build a bounding box for slab geometry
+            lo = positions.min(0) - 1e-6
+            hi = positions.max(0) + 1e-6
+            cell = np.diag(hi - lo)
+            positions = positions - lo
+            self._origin = lo
+        else:
+            cell = np.asarray(cell, dtype=np.float64).reshape(3, 3)
+            self._origin = np.zeros(3)
+        self.cell = cell
+        D = self.D
+
+        # wrap into the cell along periodic axes: slab assignment, ghost
+        # regions, and local neighbor lists all assume in-cell coordinates
+        frac = positions @ np.linalg.inv(cell)
+        frac[:, pbc] -= np.floor(frac[:, pbc])
+        positions = frac @ cell
+        fx = np.clip(frac[:, self.axis], 0.0, np.nextafter(1.0, 0.0))
+        slab_of = np.minimum((fx * D).astype(np.int64), D - 1)
+        # slab width in real distance along the axis normal
+        h = 1.0 / np.linalg.norm(np.linalg.inv(cell)[:, self.axis]) / D
+        if D > 1:
+            assert h >= self.r_max, (
+                f"slab width {h:.3f} < r_max(+skin) {self.r_max:.3f}: "
+                "too many domains for this box"
+            )
+
+        owned = [np.where(slab_of == d)[0] for d in range(D)]
+        self.n_own = np.array([len(o) for o in owned])
+        No = round_up(max(int(self.n_own.max()), 1) + 1, atom_multiple)
+        self.No = No
+        self.owned = owned
+
+        # --- halo construction ---
+        # boundary width in fractional units along the slab axis
+        w = self.r_max / (h * D)
+        send_right = []  # per d: owned-local indices within w of the right face
+        send_left = []
+        for d in range(D):
+            f = fx[owned[d]]
+            lo_d, hi_d = d / D, (d + 1) / D
+            send_right.append(np.where(f >= hi_d - w)[0])
+            send_left.append(np.where(f <= lo_d + w)[0])
+        S = round_up(
+            max(max((len(s) for s in send_right + send_left), default=1), 1),
+            atom_multiple,
+        )
+        self.S = S
+
+        def _pad_idx(idx):
+            out = np.zeros(S, np.int32)
+            out[: len(idx)] = idx
+            m = np.zeros(S, bool)
+            m[: len(idx)] = True
+            return out, m
+
+        sr_idx = np.zeros((D, S), np.int32)
+        sr_mask = np.zeros((D, S), bool)
+        sl_idx = np.zeros((D, S), np.int32)
+        sl_mask = np.zeros((D, S), bool)
+        for d in range(D):
+            sr_idx[d], sr_mask[d] = _pad_idx(send_right[d])
+            sl_idx[d], sl_mask[d] = _pad_idx(send_left[d])
+
+        # ghost slots on device d: [from left neighbor (its send_right), then
+        # from right neighbor (its send_left)], each padded to S.
+        # periodic seam shifts: ghosts arriving across the wrap get ±cell[axis].
+        ghost_shift = np.zeros((D, 2 * S, 3))
+        if D > 1 and pbc[self.axis]:
+            ghost_shift[0, :S] = -cell[self.axis]  # device 0's left neighbor is D-1
+            ghost_shift[D - 1, S:] = cell[self.axis]
+        self._ghost_shift = ghost_shift
+
+        # --- local arrays + edges (host build) ---
+        own_pos = np.zeros((D, No, 3))
+        own_types = np.zeros((D, No), np.int32)
+        own_mask = np.zeros((D, No), bool)
+        for d in range(D):
+            n = len(owned[d])
+            own_pos[d, :n] = positions[owned[d]]
+            own_types[d, :n] = atom_types[owned[d]]
+            own_mask[d, :n] = True
+
+        ghost_types = np.zeros((D, 2 * S), np.int32)
+        ghost_mask = np.zeros((D, 2 * S), bool)
+        local_edges = []
+        max_edges = 1
+        pbc_local = pbc.copy()
+        pbc_local[self.axis] = False  # ghosts open the slab axis
+        for d in range(D):
+            left, right = (d - 1) % D, (d + 1) % D
+            if D > 1:
+                g_idx_left = owned[left][sr_idx[left]]
+                g_idx_right = owned[right][sl_idx[right]]
+                ghost_types[d, :S] = atom_types[g_idx_left]
+                ghost_types[d, S:] = atom_types[g_idx_right]
+                ghost_mask[d, :S] = sr_mask[left]
+                ghost_mask[d, S:] = sl_mask[right]
+                gpos = np.concatenate(
+                    [
+                        positions[g_idx_left] + ghost_shift[d, :S],
+                        positions[g_idx_right] + ghost_shift[d, S:],
+                    ]
+                )
+                gm = np.concatenate([sr_mask[left], sl_mask[right]])
+            else:
+                gpos = np.zeros((2 * S, 3))
+                gm = np.zeros(2 * S, bool)
+            n = len(owned[d])
+            local_pos = np.zeros((No + 2 * S, 3))
+            local_pos[:n] = positions[owned[d]]
+            local_pos[No:][gm] = gpos[gm]
+            # place padded slots far away AND far apart so they form no edges
+            # (they could never be referenced anyway: only owned centers keep
+            # edges, but keep the invariant airtight)
+            padmask = np.ones(No + 2 * S, bool)
+            padmask[:n] = False
+            padmask[No:][gm] = False
+            local_pos[padmask] = np.array([1e6, 0.0, 0.0]) + np.outer(
+                np.arange(padmask.sum()) * (10.0 * self.r_max), np.array([1.0, 0, 0])
+            )
+            i, j, sh = primitive_neighbor_list(
+                local_pos, self.r_max, cell=cell, pbc=pbc_local
+            )
+            keep = i < n  # owned centers only
+            i, j, sh = i[keep], j[keep], sh[keep]
+            local_edges.append((i, j, sh))
+            max_edges = max(max_edges, len(i))
+
+        El = round_up(max_edges, edge_multiple)
+        eidx = np.zeros((D, 2, El), np.int32)
+        eshift = np.zeros((D, El, 3))
+        emask = np.zeros((D, El), bool)
+        for d, (i, j, sh) in enumerate(local_edges):
+            order = np.argsort(i, kind="stable")
+            i, j, sh = i[order], j[order], sh[order]
+            eidx[d, 0, : len(i)] = i
+            eidx[d, 1, : len(i)] = j
+            eshift[d, : len(i)] = sh
+            emask[d, : len(i)] = True
+        self.El = El
+
+        as_dt = lambda x: jnp.asarray(x, dtype)
+        self.arrays = {
+            "own_pos": as_dt(own_pos),
+            "own_types": jnp.asarray(own_types),
+            "own_mask": jnp.asarray(own_mask),
+            "ghost_types": jnp.asarray(ghost_types),
+            "ghost_mask": jnp.asarray(ghost_mask),
+            "ghost_shift": as_dt(ghost_shift),
+            "send_right_idx": jnp.asarray(sr_idx),
+            "send_right_mask": jnp.asarray(sr_mask),
+            "send_left_idx": jnp.asarray(sl_idx),
+            "send_left_mask": jnp.asarray(sl_mask),
+            "edge_index": jnp.asarray(eidx),
+            "edge_shift": as_dt(eshift),
+            "edge_mask": jnp.asarray(emask),
+        }
+        self._cell_j = as_dt(cell[None])
+        self._pbc_j = jnp.asarray(pbc_local[None])
+
+    # --- global <-> local mappings (host-side) ---
+    def scatter_positions(self, positions: np.ndarray) -> np.ndarray:
+        positions = np.asarray(positions, dtype=np.float64) - self._origin
+        frac = positions @ np.linalg.inv(self.cell)
+        frac[:, self.pbc] -= np.floor(frac[:, self.pbc])
+        positions = frac @ self.cell
+        out = np.zeros((self.D, self.No, 3))
+        for d, idx in enumerate(self.owned):
+            out[d, : len(idx)] = positions[idx]
+        return out.astype(self.dtype)
+
+    def gather_forces(self, forces_local: np.ndarray) -> np.ndarray:
+        out = np.zeros((self.n_atoms, 3))
+        f = np.asarray(forces_local, dtype=np.float64)
+        for d, idx in enumerate(self.owned):
+            out[idx] = f[d, : len(idx)]
+        return out
+
+    # --- the distributed step ---
+    def make_energy_forces_fn(self, model, params):
+        """Returns jitted ``fn(own_pos [D,No,3]) -> (E_total, forces [D,No,3])``
+        running as one shard_map program over the mesh."""
+        from jax.sharding import PartitionSpec as P
+
+        ax = self.axis_name
+        A = self.arrays
+        No, S = self.No, self.S
+        D = self.D
+        cell_j, pbc_j = self._cell_j, self._pbc_j
+        fwd_perm = [(d, (d + 1) % D) for d in range(D)]
+        bwd_perm = [(d, (d - 1) % D) for d in range(D)]
+
+        def local_energy(pos_own, a):
+            # halo exchange: one hop each way
+            if D > 1:
+                to_right = jnp.take(pos_own, a["send_right_idx"][0], axis=0)
+                from_left = jax.lax.ppermute(to_right, ax, fwd_perm)
+                to_left = jnp.take(pos_own, a["send_left_idx"][0], axis=0)
+                from_right = jax.lax.ppermute(to_left, ax, bwd_perm)
+                ghosts = jnp.concatenate([from_left, from_right], axis=0)
+                ghosts = ghosts + a["ghost_shift"][0]
+            else:
+                ghosts = jnp.zeros((2 * S, 3), pos_own.dtype)
+            pos_local = jnp.concatenate([pos_own, ghosts], axis=0)
+            data = {
+                keys.POSITIONS: pos_local,
+                keys.ATOM_TYPES: jnp.concatenate(
+                    [a["own_types"][0], a["ghost_types"][0]]
+                ),
+                keys.NODE_MASK: jnp.concatenate(
+                    [a["own_mask"][0], jnp.zeros(2 * S, bool)]
+                ),
+                keys.EDGE_INDEX: a["edge_index"][0],
+                keys.EDGE_CELL_SHIFT: a["edge_shift"][0],
+                keys.EDGE_MASK: a["edge_mask"][0],
+                keys.CELL: cell_j,
+                keys.PBC: pbc_j,
+            }
+            out = model.apply(params, data)
+            return out[keys.TOTAL_ENERGY].sum()
+
+        def step(pos_own_sharded, arrays):
+            # per-device view inside shard_map: leading dim 1
+            pos_own = pos_own_sharded[0]
+            # NOTE: differentiating THROUGH the halo exchange gives the ghost
+            # force return for free — the adjoint of ppermute is the reverse
+            # ppermute, so grad wrt pos_own already includes contributions
+            # from edges on neighboring devices where these atoms are ghosts.
+            e_local, grads = jax.value_and_grad(local_energy)(pos_own, arrays)
+            f_own = -grads
+            e_total = jax.lax.psum(e_local, ax)
+            return e_total, f_own[None]
+
+        from jax import shard_map
+
+        in_specs = (P(ax), {k: P(ax) for k in A})
+        mapped = shard_map(
+            step, mesh=self.mesh, in_specs=in_specs, out_specs=(P(), P(ax)),
+            check_vma=False,
+        )
+        jitted = jax.jit(lambda pos: mapped(pos, A))
+        return jitted
