@@ -161,15 +161,27 @@ class AllegroLayers(nn.Module):
         centers = data[keys.EDGE_INDEX][0]
         sh = data[keys.EDGE_ATTRS].astype(self.param_dtype)
         features = data[keys.EDGE_FEATURES]
+        E, U = features.shape[0], features.shape[1]
         if self._input_dims is not None:
             features = features[:, :, jnp.asarray(self._input_dims)]
+        packed = self.tp_kernel_backend == "pallas"
+        if packed:
+            # tensor track lives in packed dim-major layout between layers;
+            # the final unpack is free (only the leading scalar row is read)
+            features = self.tps[0]._pallas.pack(features)
         proj = self.first_projection(data[keys.EDGE_EMBEDDING])
         scalar_blocks = [proj[:, :S]]
         env_w = proj[:, S:]
         for layer in range(self.num_layers):
             weighted_sh = self._env_weighter(sh, env_w)  # [E, mul, dim_sh]
-            features = self.tps[layer](features, weighted_sh, centers, n_atoms)
-            tp_scalars = features[:, :, 0]  # leading 0e per channel: [E, mul]
+            if packed:
+                features = self.tps[layer].packed_call(
+                    features, weighted_sh, centers, n_atoms
+                )
+                tp_scalars = features[0].reshape(-1, U)[:E]  # [E, mul]
+            else:
+                features = self.tps[layer](features, weighted_sh, centers, n_atoms)
+                tp_scalars = features[:, :, 0]  # leading 0e per channel
             latent_in = jnp.concatenate(scalar_blocks + [tp_scalars], axis=-1)
             lat = self.latents[layer](latent_in)
             scalar_blocks.append(lat[:, :S])

@@ -184,6 +184,15 @@ class Contracter(nn.Module):
             out = t if out is None else out + t
         return out
 
+    def packed_call(self, x1_packed, x2, centers, n_atoms: int):
+        """Fast path: x1 already in packed dim-major layout [d1, R, 128];
+        x2 edge-major (env sum fused here). Returns packed [d3, R, 128]."""
+        assert self._pallas is not None
+        x2_env = self.env_sum(x2, centers, n_atoms)
+        x2p = self._pallas.pack(x2_env)
+        w = self.path_weights.astype(x1_packed.dtype)
+        return self._pallas.contract_packed(x1_packed, x2p, w, U=x2.shape[1])
+
     def __call__(self, x1, x2, centers, n_atoms: int):
         x2_env = self.env_sum(x2, centers, n_atoms)
         if self._pallas is not None:

@@ -9,6 +9,20 @@ index-permutation trick the Triton backward uses
 (``_flashallegro.py:348-360``).
 """
 
-from .pallas_contract import tp_contract_dim_major, sparse_entries, PallasTPBackend
+from .pallas_contract import (
+    tp_contract,
+    tp_gradw,
+    pack_edge_major,
+    unpack_dim_major,
+    sparse_entries,
+    PallasTPBackend,
+)
 
-__all__ = ["tp_contract_dim_major", "sparse_entries", "PallasTPBackend"]
+__all__ = [
+    "tp_contract",
+    "tp_gradw",
+    "pack_edge_major",
+    "unpack_dim_major",
+    "sparse_entries",
+    "PallasTPBackend",
+]

@@ -1,29 +1,32 @@
-"""Fused sparse Clebsch–Gordan tensor-product Pallas kernel.
+"""Fused sparse Clebsch–Gordan tensor-product Pallas kernels.
 
 The TPU-native equivalent of the reference's FlashAllegro Triton kernels
-(``allegro/nn/_strided/_flashallegro.py:24-282``): the channelwise CG
-contraction
+(``allegro/nn/_strided/_flashallegro.py:24-282``) and of the cuEquivariance
+segmented-TP backend (``_cueq_contracter.py``): the channelwise CG contraction
 
-    out[k, z, u] = sum_{(i,j,k,p) in nnz(w3j)}  c * w[p, u] * x1[i, z, u] * x2[j, z, u]
+    out[k, r, l] = sum_{(i,j,k,p) in nnz(w3j)}  c * w[p, l] * a[i, r, l] * b[j, r, l]
 
 evaluated entirely in VMEM, never materializing outer products to HBM.
 
-Design (TPU-first, cf. pallas guide):
+Design (TPU-first):
 
-- **Dim-major layout** ``[D, E, U]``: slicing a basis dim yields a clean
-  ``[BE, U]`` (sublane × lane) tile; the channel axis ``U`` rides the 128
-  lanes (full efficiency at U=128, graceful at 32/64). The model-facing
-  wrapper transposes from the strided ``[E, U, D]`` layout.
+- **Packed dim-major layout** ``[d, rows, 128]``: the (edge, channel) pairs
+  are flattened onto rows × 128 lanes (channel minor), so every basis-dim
+  slice is a perfectly tiled ``[rows, 128]`` VPU operand at ANY channel count
+  dividing 128. Path weights are lane-tiled with period U.
 - **Static sparsity**: the nonzero CG entries ``(i, j, k, p, c)`` are baked
   into the kernel at trace time (the analogue of the Triton backend's CSR
   metadata, ``_flashallegro.py:284-378``), sorted by ``(i, j)`` so each
-  distinct product ``x1[i] * x2[j]`` is formed once.
-- **Custom VJP via index permutation**: the same kernel computes
-  ``grad_x1`` with entries ``(k, j, i)`` over ``(g, x2)`` and ``grad_x2``
-  with entries ``(i, k, j)`` over ``(x1, g)`` — exactly the trick the Triton
-  backward uses (``_flashallegro.py:348-360,583-639``). ``grad_w`` is a
-  third kernel that reduces the triple product over edges, accumulating
-  ``[P, U]`` across sequential grid steps.
+  distinct product ``a[i] * b[j]`` is formed once.
+- **Layout conversion as kernels**: XLA's HBM transpose of a tiny minor dim
+  costs ~3x the TP kernel itself (measured), so pack/unpack are Pallas
+  on-chip transposes.
+- **Closed derivative family**: every VJP is again a kernel from the same
+  family with permuted entry roles — the index-permutation trick of the
+  Triton backward (``_flashallegro.py:348-360,583-639``) — and the weight
+  gradient is a triple-product reduction whose own VJPs are permuted TPs.
+  The family is closed under differentiation, so force training (grad of
+  grad) and higher orders all stay on the fused kernels.
 """
 
 from __future__ import annotations
@@ -43,6 +46,8 @@ Entry = Tuple[int, int, int, int, float]  # (ia, ib, io, p, c)
 # path never sets this.
 INTERPRET = False
 
+LANES = 128
+
 
 def sparse_entries(w3j_packed: np.ndarray, tol: float = 1e-12) -> Tuple[Entry, ...]:
     """Nonzero entries of the packed [P, d1, d2, d3] 3j buffer, (i,j,k,p,c)."""
@@ -52,34 +57,37 @@ def sparse_entries(w3j_packed: np.ndarray, tol: float = 1e-12) -> Tuple[Entry, .
         idx = np.argwhere(np.abs(w3j_packed[p]) > tol)
         for i, j, k in idx:
             entries.append((int(i), int(j), int(k), int(p), float(w3j_packed[p, i, j, k])))
-    # sort by (ia, ib) so the kernel reuses each x1[i]*x2[j] product
     entries.sort(key=lambda e: (e[0], e[1], e[2]))
     return tuple(entries)
 
 
-def _permute_entries(entries, perm: str):
-    """Remap entry roles for the backward passes (index-permutation trick)."""
-    if perm == "fwd":  # out[k] += c w x1[i] x2[j]
-        out = entries
-    elif perm == "bwd1":  # grad_x1[i] += c w g[k] x2[j]
-        out = tuple((k, j, i, p, c) for (i, j, k, p, c) in entries)
-    elif perm == "bwd2":  # grad_x2[j] += c w x1[i] g[k]
-        out = tuple((i, k, j, p, c) for (i, j, k, p, c) in entries)
-    else:
-        raise ValueError(perm)
-    return tuple(sorted(out, key=lambda e: (e[0], e[1], e[2])))
+def _swap_a_out(entries):
+    """Entry roles for grad wrt ``a``: out index <-> a index."""
+    return tuple(sorted(((k, j, i, p, c) for (i, j, k, p, c) in entries),
+                        key=lambda e: (e[0], e[1], e[2])))
+
+
+def _swap_b_out(entries):
+    """Entry roles for grad wrt ``b``: out index <-> b index."""
+    return tuple(sorted(((i, k, j, p, c) for (i, j, k, p, c) in entries),
+                        key=lambda e: (e[0], e[1], e[2])))
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
 
 
 def _tp_kernel(w_ref, a_ref, b_ref, o_ref, *, entries, d_out):
-    """One edge-block: o[k, :, :] = sum c * w[p] * a[i] * b[j]."""
+    """One block: o[k] = sum over entries of c * w[p] * a[i] * b[j]."""
     acc = [None] * d_out
     cur = (-1, -1)
     t = None
     for ia, ib, io, p, c in entries:
         if (ia, ib) != cur:
-            t = a_ref[ia] * b_ref[ib]  # [BE, U]
+            t = a_ref[ia] * b_ref[ib]  # [rows, 128]
             cur = (ia, ib)
-        contrib = (c * w_ref[p : p + 1]) * t  # [1,U] * [BE,U]
+        contrib = (c * w_ref[p : p + 1]) * t
         acc[io] = contrib if acc[io] is None else acc[io] + contrib
     for k in range(d_out):
         if acc[k] is None:
@@ -88,8 +96,9 @@ def _tp_kernel(w_ref, a_ref, b_ref, o_ref, *, entries, d_out):
             o_ref[k] = acc[k]
 
 
-def _tp_gradw_kernel(a_ref, b_ref, g_ref, ow_ref, *, entries, n_paths):
-    """Accumulate grad_w[p, u] = sum_z c * a[i] * b[j] * g[k] across blocks."""
+def _gradw_kernel(a_ref, b_ref, g_ref, ow_ref, *, entries, n_paths):
+    """Accumulate gw[p, l] = sum_rows c * a[i] * b[j] * g[k] across blocks."""
+
     @pl.when(pl.program_id(0) == 0)
     def _():
         ow_ref[...] = jnp.zeros_like(ow_ref)
@@ -101,139 +110,252 @@ def _tp_gradw_kernel(a_ref, b_ref, g_ref, ow_ref, *, entries, n_paths):
         if (ia, ib) != cur:
             t = a_ref[ia] * b_ref[ib]
             cur = (ia, ib)
-        contrib = c * jnp.sum(t * g_ref[io], axis=0, keepdims=True)  # [1, U]
+        contrib = c * jnp.sum(t * g_ref[io], axis=0, keepdims=True)  # [1, 128]
         acc[p] = contrib if acc[p] is None else acc[p] + contrib
     for p in range(n_paths):
         if acc[p] is not None:
             ow_ref[p : p + 1] = ow_ref[p : p + 1] + acc[p]
 
 
-def _pad_edges(x, be: int):
-    E = x.shape[1]
-    Ep = -(-E // be) * be
-    if Ep == E:
-        return x, E
-    pad = [(0, 0)] * x.ndim
-    pad[1] = (0, Ep - E)
-    return jnp.pad(x, pad), E
+def _pack_kernel(x_ref, o_ref, *, d, rows, L):
+    x = x_ref[...]  # [BE, U, d]
+    o_ref[...] = jnp.transpose(x, (2, 0, 1)).reshape(d, rows, L)
 
 
-def _run_tp(a, b, w, entries, d_out: int, be: int):
-    """a [Da, E, U], b [Db, E, U], w [P, U] -> [d_out, E, U]."""
-    a, E = _pad_edges(a, be)
-    b, _ = _pad_edges(b, be)
-    Ep, U = a.shape[1], a.shape[2]
-    grid = (Ep // be,)
+def _unpack_kernel(y_ref, o_ref, *, d, be, U):
+    y = y_ref[...]  # [d, rows, L]
+    o_ref[...] = jnp.transpose(y.reshape(d, be, U), (1, 2, 0))
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers (raw, no AD)
+# ---------------------------------------------------------------------------
+
+
+def _pad_rows(x, block: int):
+    R = x.shape[1]
+    Rp = -(-R // block) * block
+    if Rp == R:
+        return x, R
+    return jnp.pad(x, ((0, 0), (0, Rp - R), (0, 0))), R
+
+
+def _run_tp(a, b, w, entries, d_out: int, block: int):
+    a, R = _pad_rows(a, block)
+    b, _ = _pad_rows(b, block)
+    Rp, L = a.shape[1], a.shape[2]
     out = pl.pallas_call(
         functools.partial(_tp_kernel, entries=entries, d_out=d_out),
-        out_shape=jax.ShapeDtypeStruct((d_out, Ep, U), a.dtype),
-        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((d_out, Rp, L), a.dtype),
+        grid=(Rp // block,),
         in_specs=[
-            pl.BlockSpec((w.shape[0], U), lambda e: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((a.shape[0], be, U), lambda e: (0, e, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b.shape[0], be, U), lambda e: (0, e, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w.shape[0], L), lambda e: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((a.shape[0], block, L), lambda e: (0, e, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b.shape[0], block, L), lambda e: (0, e, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((d_out, be, U), lambda e: (0, e, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((d_out, block, L), lambda e: (0, e, 0), memory_space=pltpu.VMEM),
         interpret=INTERPRET,
     )(w, a, b)
-    return out[:, :E]
+    return out[:, :R]
 
 
-def _run_gradw(a, b, g, n_paths: int, entries, be: int, dtype):
-    a, _ = _pad_edges(a, be)
-    b, _ = _pad_edges(b, be)
-    g, _ = _pad_edges(g, be)
-    Ep, U = a.shape[1], a.shape[2]
-    grid = (Ep // be,)
+def _run_gradw(a, b, g, n_paths: int, entries, block: int):
+    a, _ = _pad_rows(a, block)
+    b, _ = _pad_rows(b, block)
+    g, _ = _pad_rows(g, block)
+    Rp, L = a.shape[1], a.shape[2]
     return pl.pallas_call(
-        functools.partial(_tp_gradw_kernel, entries=entries, n_paths=n_paths),
-        out_shape=jax.ShapeDtypeStruct((n_paths, U), dtype),
-        grid=grid,
+        functools.partial(_gradw_kernel, entries=entries, n_paths=n_paths),
+        out_shape=jax.ShapeDtypeStruct((n_paths, L), a.dtype),
+        grid=(Rp // block,),
         in_specs=[
-            pl.BlockSpec((a.shape[0], be, U), lambda e: (0, e, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b.shape[0], be, U), lambda e: (0, e, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g.shape[0], be, U), lambda e: (0, e, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((a.shape[0], block, L), lambda e: (0, e, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b.shape[0], block, L), lambda e: (0, e, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g.shape[0], block, L), lambda e: (0, e, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((n_paths, U), lambda e: (0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((n_paths, L), lambda e: (0, 0), memory_space=pltpu.VMEM),
         interpret=INTERPRET,
     )(a, b, g)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def tp_contract_dim_major(x1, x2, w, entries, d1: int, d2: int, d3: int, block_edges: int = 256):
-    """Fused CG TP in dim-major layout.
+# ---------------------------------------------------------------------------
+# differentiable ops (closed under AD)
+# ---------------------------------------------------------------------------
 
-    x1 [d1, E, U], x2 [d2, E, U], w [P, U] → out [d3, E, U].
-    ``entries`` is the static nnz tuple from :func:`sparse_entries`.
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def tp_contract(a, b, w, entries, dims: Tuple[int, int, int], block: int = 256):
+    """Fused CG TP on packed dim-major inputs.
+
+    a [d_a, R, 128], b [d_b, R, 128], w [P, 128] → [d_out, R, 128];
+    ``dims = (d_a, d_b, d_out)``, ``entries`` from :func:`sparse_entries`.
     """
-    return _run_tp(x1, x2, w, _permute_entries(entries, "fwd"), d3, block_edges)
+    return _run_tp(a, b, w, entries, dims[2], block)
 
 
-def _tp_fwd(x1, x2, w, entries, d1, d2, d3, block_edges):
-    out = _run_tp(x1, x2, w, _permute_entries(entries, "fwd"), d3, block_edges)
-    return out, (x1, x2, w)
+def _tp_fwd(a, b, w, entries, dims, block):
+    return _run_tp(a, b, w, entries, dims[2], block), (a, b, w)
 
 
-def _tp_bwd(entries, d1, d2, d3, block_edges, res, g):
-    x1, x2, w = res
-    gx1 = _run_tp(g, x2, w, _permute_entries(entries, "bwd1"), d1, block_edges)
-    gx2 = _run_tp(x1, g, w, _permute_entries(entries, "bwd2"), d2, block_edges)
-    gw = _run_gradw(
-        x1, x2, g, w.shape[0], _permute_entries(entries, "fwd"), block_edges, w.dtype
+def _tp_bwd(entries, dims, block, res, g):
+    a, b, w = res
+    d_a, d_b, d_out = dims
+    ga = tp_contract(g, b, w, _swap_a_out(entries), (d_out, d_b, d_a), block)
+    gb = tp_contract(a, g, w, _swap_b_out(entries), (d_a, d_out, d_b), block)
+    gw = tp_gradw(a, b, g, entries, dims, block)
+    return ga, gb, gw
+
+
+tp_contract.defvjp(_tp_fwd, _tp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def tp_gradw(a, b, g, entries, dims: Tuple[int, int, int], block: int = 256):
+    """Weight gradient: [P, 128] = sum over rows of c * a[i] * b[j] * g[k]."""
+    n_paths = 1 + max(e[3] for e in entries)
+    return _run_gradw(a, b, g, n_paths, entries, block)
+
+
+def _gradw_fwd(a, b, g, entries, dims, block):
+    return tp_gradw(a, b, g, entries, dims, block), (a, b, g)
+
+
+def _gradw_bwd(entries, dims, block, res, t):
+    a, b, g = res
+    d_a, d_b, d_out = dims
+    # d gw / d a ⊣ t  = TP of (b, g) with weights t, output indexed by i
+    da = tp_contract(
+        b, g, t, tuple(sorted(((j, k, i, p, c) for (i, j, k, p, c) in entries),
+                              key=lambda e: (e[0], e[1], e[2]))),
+        (d_b, d_out, d_a), block,
     )
-    return gx1, gx2, gw
+    db = tp_contract(
+        a, g, t, tuple(sorted(((i, k, j, p, c) for (i, j, k, p, c) in entries),
+                              key=lambda e: (e[0], e[1], e[2]))),
+        (d_a, d_out, d_b), block,
+    )
+    dg = tp_contract(a, b, t, entries, (d_a, d_b, d_out), block)
+    return da, db, dg
 
 
-tp_contract_dim_major.defvjp(_tp_fwd, _tp_bwd)
+tp_gradw.defvjp(_gradw_fwd, _gradw_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def pack_edge_major(x, block_edges: int = 512):
+    """[E, U, d] → packed dim-major [d, E*U/128, 128] (on-chip transpose;
+    XLA's HBM transpose of a tiny minor dim costs ~3x the TP kernel itself)."""
+    return _run_pack(x, block_edges)
+
+
+def _run_pack(x, block_edges):
+    E, U, d = x.shape
+    L = LANES
+    assert (block_edges * U) % L == 0
+    Ep = -(-E // block_edges) * block_edges
+    if Ep != E:
+        x = jnp.pad(x, ((0, Ep - E), (0, 0), (0, 0)))
+    rows_per_block = block_edges * U // L
+    return pl.pallas_call(
+        functools.partial(_pack_kernel, d=d, rows=rows_per_block, L=L),
+        out_shape=jax.ShapeDtypeStruct((d, Ep * U // L, L), x.dtype),
+        grid=(Ep // block_edges,),
+        in_specs=[
+            pl.BlockSpec((block_edges, U, d), lambda e: (e, 0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (d, rows_per_block, L), lambda e: (0, e, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=INTERPRET,
+    )(x)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def unpack_dim_major(y, E: int, U: int, block_edges: int = 512):
+    """packed [d, E*U/128, 128] → [E, U, d] (inverse of pack)."""
+    return _run_unpack(y, E, U, block_edges)
+
+
+def _run_unpack(y, E, U, block_edges):
+    d = y.shape[0]
+    L = LANES
+    rows_per_block = block_edges * U // L
+    Ep = y.shape[1] * L // U
+    out = pl.pallas_call(
+        functools.partial(_unpack_kernel, d=d, be=block_edges, U=U),
+        out_shape=jax.ShapeDtypeStruct((Ep, U, d), y.dtype),
+        grid=(Ep // block_edges,),
+        in_specs=[
+            pl.BlockSpec((d, rows_per_block, L), lambda e: (0, e, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((block_edges, U, d), lambda e: (e, 0, 0), memory_space=pltpu.VMEM),
+        interpret=INTERPRET,
+    )(y)
+    return out[:E]
+
+
+def _pack_fwd(x, block_edges):
+    return _run_pack(x, block_edges), (x.shape[0], x.shape[1])
+
+
+def _pack_bwd(block_edges, res, g):
+    E, U = res
+    return (unpack_dim_major(g, E, U, block_edges),)
+
+
+pack_edge_major.defvjp(_pack_fwd, _pack_bwd)
+
+
+def _unpack_fwd(y, E, U, block_edges):
+    return _run_unpack(y, E, U, block_edges), ()
+
+
+def _unpack_bwd(E, U, block_edges, res, g):
+    return (pack_edge_major(g, block_edges),)
+
+
+unpack_dim_major.defvjp(_unpack_fwd, _unpack_bwd)
+
+
+# ---------------------------------------------------------------------------
+# model-facing backend
+# ---------------------------------------------------------------------------
 
 
 class PallasTPBackend:
-    """Callable backend bound to one Contracter's static data.
+    """Callable backend bound to one Contracter's static CG data."""
 
-    ``__call__(x1 [E,U,d1], x2 [E,U,d2], w)``: transposes to dim-major, runs
-    the fused kernel, transposes back. ``w`` is [U, P] ("uuup" coupling) or
-    [P] ("p" mode, broadcast across channels).
-    """
+    LANES = LANES
 
-    def __init__(self, w3j_packed: np.ndarray, block_edges: int = 256):
+    def __init__(self, w3j_packed: np.ndarray, block_rows: int = 256, block_edges: int = 512):
         self.entries = sparse_entries(w3j_packed)
         self.n_paths, self.d1, self.d2, self.d3 = w3j_packed.shape
+        self.dims = (self.d1, self.d2, self.d3)
+        self.block_rows = block_rows
         self.block_edges = block_edges
 
-    LANES = 128
+    def tile_weights(self, w, U: int):
+        """[U, P] or [P] path weights → lane-tiled [P, 128] (period U)."""
+        L = self.LANES
+        assert L % U == 0, f"channel count {U} must divide {L}"
+        if w.ndim == 1:
+            w_pu = jnp.broadcast_to(w[:, None], (self.n_paths, U))
+        else:
+            w_pu = w.T
+        return jnp.tile(w_pu, (1, L // U))  # AD adjoint: sum over tiles
+
+    def pack(self, x):
+        return pack_edge_major(x, self.block_edges)
+
+    def unpack(self, y, E: int, U: int):
+        return unpack_dim_major(y, E, U, self.block_edges)
+
+    def contract_packed(self, x1p, x2p, w, U: int):
+        w_tiled = self.tile_weights(w, U).astype(x1p.dtype)
+        return tp_contract(x1p, x2p, w_tiled, self.entries, self.dims, self.block_rows)
 
     def __call__(self, x1, x2, w):
+        """Edge-major convenience: [E, U, d1], [E, U, d2] → [E, U, d3]."""
         E, U = x1.shape[0], x1.shape[1]
-        if w.ndim == 1:  # "p" mode: same path weights for all channels
-            w_pu = jnp.broadcast_to(w[:, None], (self.n_paths, U))
-        else:  # [U, P] -> [P, U]
-            w_pu = w.T
-        # Lane packing: the contraction is elementwise over (edge, channel),
-        # so flatten (E, U) onto the 128-lane axis regardless of U — the
-        # per-path weight pattern has period U and tiles exactly.
-        L = self.LANES
-        if U <= L and L % U == 0:
-            rows_per_lane_group = L // U
-            Ep = -(-E // rows_per_lane_group) * rows_per_lane_group
-            pad = Ep - E
-
-            def pack(x, d):
-                if pad:
-                    x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
-                xdm = jnp.transpose(x, (2, 0, 1))  # [d, Ep, U]
-                return xdm.reshape(d, Ep * U // L, L)
-
-            w_tiled = jnp.tile(w_pu, (1, rows_per_lane_group))  # adjoint: sum
-            out = tp_contract_dim_major(
-                pack(x1, self.d1), pack(x2, self.d2), w_tiled.astype(x1.dtype),
-                self.entries, self.d1, self.d2, self.d3, self.block_edges,
-            )
-            out = out.reshape(self.d3, Ep, U)[:, :E]
-            return jnp.transpose(out, (1, 2, 0))
-        x1dm = jnp.transpose(x1, (2, 0, 1))
-        x2dm = jnp.transpose(x2, (2, 0, 1))
-        out = tp_contract_dim_major(
-            x1dm, x2dm, w_pu.astype(x1.dtype), self.entries,
-            self.d1, self.d2, self.d3, self.block_edges,
-        )
-        return jnp.transpose(out, (1, 2, 0))
+        out = self.contract_packed(self.pack(x1), self.pack(x2), w, U)
+        return self.unpack(out, E, U)

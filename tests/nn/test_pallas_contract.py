@@ -77,16 +77,87 @@ def test_gradient_consistency(coupling, rng):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-4, rtol=5e-4)
 
 
+def test_pack_unpack_roundtrip(rng):
+    from allegro_tpu.ops.pallas_contract import pack_edge_major, unpack_dim_major
+
+    x = jnp.asarray(rng.randn(100, 8, 5), jnp.float32)
+    y = pack_edge_major(x, 64)
+    assert y.shape == (5, 128 * 8 // 128, 128)
+    back = unpack_dim_major(y, 100, 8, 64)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=0)
+    # AD through pack: adjoint is unpack
+    g = jax.grad(lambda a: (pack_edge_major(a, 64) ** 2).sum())(x)
+    np.testing.assert_allclose(np.asarray(g), 2 * np.asarray(x), atol=1e-6)
+
+
+def test_full_model_consistency(rng):
+    """Whole-model check: pallas backend vs einsum backend must agree on
+    energies and forces with identical parameters — the reference's
+    kernel-consistency test (``tests/model/test_allegro.py:206-267``).
+
+    Scope matches the reference's Triton backend: inference + forces
+    (first-order AD). Force-loss training (second-order AD) uses the einsum
+    backend — jax.custom_vjp does not support reverse-over-reverse; a
+    primitive-based kernel with JVP+transpose rules (the cuEq-equivalent,
+    trainable backend) is tracked in TODO.md."""
+    from allegro_tpu.data import batch_frames, keys, to_jax
+    from allegro_tpu.data.neighborlist import neighbor_list
+    from allegro_tpu.model import AllegroModel
+
+    def make(backend):
+        return AllegroModel(
+            r_max=2.5,
+            type_names=["A", "B"],
+            l_max=2,
+            num_layers=2,
+            num_scalar_features=8,
+            num_tensor_features=4,
+            scalar_embed_mlp_hidden_layers_width=8,
+            allegro_mlp_hidden_layers_width=8,
+            readout_mlp_hidden_layers_width=8,
+            avg_num_neighbors=5.0,
+            per_type_energy_scales=1.1,
+            per_type_energy_shifts=[0.2, -0.2],
+            model_dtype="float32",
+            tp_kernel_backend=backend,
+        )
+
+    r = np.random.RandomState(3)
+    fr = {
+        keys.POSITIONS: r.randn(10, 3) * 1.5,
+        keys.ATOM_TYPES: r.randint(0, 2, 10).astype(np.int32),
+    }
+    fr = neighbor_list(fr, 2.5)
+    b = to_jax(batch_frames([fr], n_frames=1), dtype=np.float32)
+    m_ref, m_ker = make("einsum"), make("pallas")
+    params = m_ref.init(0, b)
+    out_ref = m_ref(params, b)
+    out_ker = m_ker(params, b)
+    np.testing.assert_allclose(
+        np.asarray(out_ker[keys.TOTAL_ENERGY]),
+        np.asarray(out_ref[keys.TOTAL_ENERGY]),
+        atol=5e-5, rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_ker[keys.FORCES]), np.asarray(out_ref[keys.FORCES]),
+        atol=5e-4, rtol=1e-3,
+    )
+
+
 def test_entry_permutations():
     from allegro_tpu.nn.contract import pack_w3j, enumerate_instructions
-    from allegro_tpu.ops.pallas_contract import sparse_entries, _permute_entries
+    from allegro_tpu.ops.pallas_contract import sparse_entries, _swap_a_out, _swap_b_out
 
     i1 = Irreps("1x0e+1x1o")
     ins = enumerate_instructions(i1, i1, i1)
     w3j = pack_w3j(i1, i1, i1, ins)
     e = sparse_entries(w3j)
     assert len(e) > 0
-    b1 = _permute_entries(e, "bwd1")
+    b1 = _swap_a_out(e)
     assert sorted((i, j, k) for i, j, k, _, _ in e) == sorted(
         (k, j, i) for i, j, k, _, _ in b1
+    )
+    b2 = _swap_b_out(e)
+    assert sorted((i, j, k) for i, j, k, _, _ in e) == sorted(
+        (i, k, j) for i, j, k, _, _ in b2
     )
