@@ -46,10 +46,22 @@ def primitive_neighbor_list(
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Directed neighbor list.
 
+    Uses the native C++ cell-list kernel (``csrc/neighborlist.cpp``) when a
+    toolchain is available (disable with ``ALLEGRO_TPU_NATIVE=0``), else the
+    scipy cKDTree implementation below. Both produce identical edge sets.
+
     Returns:
       centers [E] int32, neighbors [E] int32, cell_shifts [E, 3] float64
       (integer-valued; ``r = pos[j] - pos[i] + shifts @ cell``).
     """
+    import os
+
+    if os.environ.get("ALLEGRO_TPU_NATIVE", "1") != "0":
+        from ..native import native_neighbor_list
+
+        res = native_neighbor_list(positions, r_max, cell, pbc)
+        if res is not None:
+            return res
     positions = np.asarray(positions, dtype=np.float64)
     n = positions.shape[0]
     pbc = np.asarray(pbc, dtype=bool)

@@ -19,6 +19,10 @@
 #include <cstring>
 #include <vector>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 namespace {
 
 struct Mat3 {
@@ -142,9 +146,26 @@ long long atpu_neighbor_list(const double* pos_in, long long n,
   }
 
   const double r2 = r_max * r_max;
-  long long n_out = 0;
-  long long needed = 0;
+
+  struct Rec {
+    int i, j;
+    int8_t s0, s1, s2;
+  };
+  int n_threads = 1;
+#ifdef _OPENMP
+  n_threads = omp_get_max_threads();
+#endif
+  std::vector<std::vector<Rec>> results(n_threads);
+
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 64)
+#endif
   for (long long a = 0; a < n; ++a) {
+    int tid = 0;
+#ifdef _OPENMP
+    tid = omp_get_thread_num();
+#endif
+    std::vector<Rec>& out = results[tid];
     int ba[3];
     {
       long long idx = bin_of[a];
@@ -188,22 +209,28 @@ long long atpu_neighbor_list(const double* pos_in, long long n,
             double dz = pos[3 * jj + 2] + sc[2] - pos[3 * a + 2];
             double d2 = dx * dx + dy * dy + dz * dz;
             if (d2 < r2) {
-              if (n_out < cap) {
-                out_i[n_out] = (int)a;
-                out_j[n_out] = jj;
-                out_shift[3 * n_out + 0] = (double)s0;
-                out_shift[3 * n_out + 1] = (double)s1;
-                out_shift[3 * n_out + 2] = (double)s2;
-                ++n_out;
-              }
-              ++needed;
+              out.push_back(Rec{(int)a, jj, (int8_t)s0, (int8_t)s1, (int8_t)s2});
             }
           }
         }
       }
     }
   }
+
+  long long needed = 0;
+  for (const auto& v : results) needed += (long long)v.size();
   if (needed > cap) return -needed;
+  long long n_out = 0;
+  for (const auto& v : results) {
+    for (const Rec& r : v) {
+      out_i[n_out] = r.i;
+      out_j[n_out] = r.j;
+      out_shift[3 * n_out + 0] = (double)r.s0;
+      out_shift[3 * n_out + 1] = (double)r.s1;
+      out_shift[3 * n_out + 2] = (double)r.s2;
+      ++n_out;
+    }
+  }
   return n_out;
 }
 
