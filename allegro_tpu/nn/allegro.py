@@ -166,20 +166,39 @@ class AllegroLayers(nn.Module):
             features = features[:, :, jnp.asarray(self._input_dims)]
         packed = self.tp_kernel_backend == "pallas"
         if packed:
-            # tensor track lives in packed dim-major layout between layers;
-            # the final unpack is free (only the leading scalar row is read)
+            # Tensor track lives in packed dim-major layout between layers:
+            # (E, U) pairs ride the 128-lane axis, every basis-dim slice is a
+            # perfect VPU tile. Entry needs one transpose of the initial
+            # features; per-layer env tensors are CONSTRUCTED dim-major
+            # (no transposes), and the final "unpack" is free (only the
+            # leading scalar row is ever read).
+            import math as _math
+
+            L = self.tps[0]._pallas.LANES
+            g = L // _math.gcd(U, L)
+            Ep = -(-E // g) * g
+            if Ep != E:
+                features = jnp.pad(features, ((0, Ep - E), (0, 0), (0, 0)))
+                sh_p = jnp.pad(sh, ((0, Ep - E), (0, 0)))
+                centers_p = jnp.pad(centers, (0, Ep - E))
+            else:
+                sh_p, centers_p = sh, centers
             features = self.tps[0]._pallas.pack(features)
         proj = self.first_projection(data[keys.EDGE_EMBEDDING])
         scalar_blocks = [proj[:, :S]]
         env_w = proj[:, S:]
         for layer in range(self.num_layers):
-            weighted_sh = self._env_weighter(sh, env_w)  # [E, mul, dim_sh]
             if packed:
+                env_w_p = env_w if env_w.shape[0] == Ep else jnp.pad(
+                    env_w, ((0, Ep - E), (0, 0))
+                )
+                x2_dm = self._env_weighter.dim_major(sh_p, env_w_p)  # [d, Ep, U]
                 features = self.tps[layer].packed_call(
-                    features, weighted_sh, centers, n_atoms
+                    features, x2_dm, centers_p, n_atoms, mul=U
                 )
                 tp_scalars = features[0].reshape(-1, U)[:E]  # [E, mul]
             else:
+                weighted_sh = self._env_weighter(sh, env_w)  # [E, mul, dim_sh]
                 features = self.tps[layer](features, weighted_sh, centers, n_atoms)
                 tp_scalars = features[:, :, 0]  # leading 0e per channel
             latent_in = jnp.concatenate(scalar_blocks + [tp_scalars], axis=-1)

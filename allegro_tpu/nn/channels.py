@@ -45,3 +45,23 @@ class MakeWeightedChannels:
         else:
             w_full = weights.reshape(E, self.mul_out, 1)
         return edge_attr[:, None, :] * w_full
+
+    # static map: basis dim -> irrep index (for the dim-major construction)
+    def _dim_to_irrep(self):
+        out = []
+        for k, sl in enumerate(self.irreps_in.slices()):
+            out.extend([k] * (sl.stop - sl.start))
+        return out
+
+    def dim_major(self, edge_attr, weights):
+        """Same product, built directly in dim-major layout [dim, E, mul] —
+        no transpose of the big array (the TPU kernel path's layout)."""
+        E = edge_attr.shape[0]
+        if self.weight_individual_irreps:
+            w = weights.reshape(E, self.mul_out, len(self.irreps_in))
+            cols = []
+            for d_, ir in enumerate(self._dim_to_irrep()):
+                cols.append(edge_attr[:, d_, None] * w[:, :, ir])  # [E, mul]
+            return jnp.stack(cols, axis=0)  # [dim, E, mul]
+        w = weights.reshape(E, self.mul_out)
+        return edge_attr.T[:, :, None] * w[None, :, :]

@@ -184,14 +184,24 @@ class Contracter(nn.Module):
             out = t if out is None else out + t
         return out
 
-    def packed_call(self, x1_packed, x2, centers, n_atoms: int):
-        """Fast path: x1 already in packed dim-major layout [d1, R, 128];
-        x2 edge-major (env sum fused here). Returns packed [d3, R, 128]."""
+    def env_sum_dim_major(self, x2_dm, centers, n_atoms: int):
+        """Environment aggregation in dim-major layout [d2, E, U]."""
+        if self.scatter_factor is not None:
+            x2_dm = x2_dm * jnp.asarray(self.scatter_factor, dtype=x2_dm.dtype)
+        seg = jax.vmap(
+            lambda x: jax.ops.segment_sum(x, centers, num_segments=n_atoms)
+        )(x2_dm)
+        return jnp.take(seg, centers, axis=1)
+
+    def packed_call(self, x1_packed, x2_dm, centers, n_atoms: int, mul: int):
+        """Fast path: x1 already packed [d1, R, 128]; x2 dim-major [d2, E, U]
+        (env sum fused here; the lane reshape is free). Returns [d3, R, 128]."""
         assert self._pallas is not None
-        x2_env = self.env_sum(x2, centers, n_atoms)
-        x2p = self._pallas.pack(x2_env)
+        x2_env = self.env_sum_dim_major(x2_dm, centers, n_atoms)
+        d2 = x2_env.shape[0]
+        x2p = x2_env.reshape(d2, -1, self._pallas.LANES)
         w = self.path_weights.astype(x1_packed.dtype)
-        return self._pallas.contract_packed(x1_packed, x2p, w, U=x2.shape[1])
+        return self._pallas.contract_packed(x1_packed, x2p, w, U=mul)
 
     def __call__(self, x1, x2, centers, n_atoms: int):
         x2_env = self.env_sum(x2, centers, n_atoms)

@@ -117,16 +117,6 @@ def _gradw_kernel(a_ref, b_ref, g_ref, ow_ref, *, entries, n_paths):
             ow_ref[p : p + 1] = ow_ref[p : p + 1] + acc[p]
 
 
-def _pack_kernel(x_ref, o_ref, *, d, rows, L):
-    x = x_ref[...]  # [BE, U, d]
-    o_ref[...] = jnp.transpose(x, (2, 0, 1)).reshape(d, rows, L)
-
-
-def _unpack_kernel(y_ref, o_ref, *, d, be, U):
-    y = y_ref[...]  # [d, rows, L]
-    o_ref[...] = jnp.transpose(y.reshape(d, be, U), (1, 2, 0))
-
-
 # ---------------------------------------------------------------------------
 # pallas_call wrappers (raw, no AD)
 # ---------------------------------------------------------------------------
@@ -241,80 +231,24 @@ def _gradw_bwd(entries, dims, block, res, t):
 tp_gradw.defvjp(_gradw_fwd, _gradw_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def pack_edge_major(x, block_edges: int = 512):
-    """[E, U, d] → packed dim-major [d, E*U/128, 128] (on-chip transpose;
-    XLA's HBM transpose of a tiny minor dim costs ~3x the TP kernel itself)."""
-    return _run_pack(x, block_edges)
+def pack_edge_major(x, lanes: int = LANES):
+    """[E, U, d] → packed dim-major [d, E*U/lanes, lanes].
 
-
-def _run_pack(x, block_edges):
+    The d-major transpose is the only real data movement; the (E, U) → lanes
+    flattening is a free row-major reshape. The fast model path avoids even
+    the transpose by *constructing* the tensor track dim-major (see
+    ``AllegroLayers``); this helper serves the edge-major convenience API and
+    entry conversion. Plain XLA ops — natively differentiable.
+    """
     E, U, d = x.shape
-    L = LANES
-    assert (block_edges * U) % L == 0
-    Ep = -(-E // block_edges) * block_edges
-    if Ep != E:
-        x = jnp.pad(x, ((0, Ep - E), (0, 0), (0, 0)))
-    rows_per_block = block_edges * U // L
-    return pl.pallas_call(
-        functools.partial(_pack_kernel, d=d, rows=rows_per_block, L=L),
-        out_shape=jax.ShapeDtypeStruct((d, Ep * U // L, L), x.dtype),
-        grid=(Ep // block_edges,),
-        in_specs=[
-            pl.BlockSpec((block_edges, U, d), lambda e: (e, 0, 0), memory_space=pltpu.VMEM)
-        ],
-        out_specs=pl.BlockSpec(
-            (d, rows_per_block, L), lambda e: (0, e, 0), memory_space=pltpu.VMEM
-        ),
-        interpret=INTERPRET,
-    )(x)
+    assert (E * U) % lanes == 0, (E, U, lanes)
+    return jnp.transpose(x, (2, 0, 1)).reshape(d, E * U // lanes, lanes)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
-def unpack_dim_major(y, E: int, U: int, block_edges: int = 512):
+def unpack_dim_major(y, E: int, U: int):
     """packed [d, E*U/128, 128] → [E, U, d] (inverse of pack)."""
-    return _run_unpack(y, E, U, block_edges)
-
-
-def _run_unpack(y, E, U, block_edges):
     d = y.shape[0]
-    L = LANES
-    rows_per_block = block_edges * U // L
-    Ep = y.shape[1] * L // U
-    out = pl.pallas_call(
-        functools.partial(_unpack_kernel, d=d, be=block_edges, U=U),
-        out_shape=jax.ShapeDtypeStruct((Ep, U, d), y.dtype),
-        grid=(Ep // block_edges,),
-        in_specs=[
-            pl.BlockSpec((d, rows_per_block, L), lambda e: (0, e, 0), memory_space=pltpu.VMEM)
-        ],
-        out_specs=pl.BlockSpec((block_edges, U, d), lambda e: (e, 0, 0), memory_space=pltpu.VMEM),
-        interpret=INTERPRET,
-    )(y)
-    return out[:E]
-
-
-def _pack_fwd(x, block_edges):
-    return _run_pack(x, block_edges), (x.shape[0], x.shape[1])
-
-
-def _pack_bwd(block_edges, res, g):
-    E, U = res
-    return (unpack_dim_major(g, E, U, block_edges),)
-
-
-pack_edge_major.defvjp(_pack_fwd, _pack_bwd)
-
-
-def _unpack_fwd(y, E, U, block_edges):
-    return _run_unpack(y, E, U, block_edges), ()
-
-
-def _unpack_bwd(E, U, block_edges, res, g):
-    return (pack_edge_major(g, block_edges),)
-
-
-unpack_dim_major.defvjp(_unpack_fwd, _unpack_bwd)
+    return jnp.transpose(y.reshape(d, E, U), (1, 2, 0))
 
 
 # ---------------------------------------------------------------------------
@@ -345,10 +279,10 @@ class PallasTPBackend:
         return jnp.tile(w_pu, (1, L // U))  # AD adjoint: sum over tiles
 
     def pack(self, x):
-        return pack_edge_major(x, self.block_edges)
+        return pack_edge_major(x)
 
     def unpack(self, y, E: int, U: int):
-        return unpack_dim_major(y, E, U, self.block_edges)
+        return unpack_dim_major(y, E, U)
 
     def contract_packed(self, x1p, x2p, w, U: int):
         w_tiled = self.tile_weights(w, U).astype(x1p.dtype)
@@ -356,6 +290,13 @@ class PallasTPBackend:
 
     def __call__(self, x1, x2, w):
         """Edge-major convenience: [E, U, d1], [E, U, d2] → [E, U, d3]."""
+        import math
+
         E, U = x1.shape[0], x1.shape[1]
+        g = self.LANES // math.gcd(U, self.LANES)
+        Ep = -(-E // g) * g
+        if Ep != E:
+            x1 = jnp.pad(x1, ((0, Ep - E), (0, 0), (0, 0)))
+            x2 = jnp.pad(x2, ((0, Ep - E), (0, 0), (0, 0)))
         out = self.contract_packed(self.pack(x1), self.pack(x2), w, U)
-        return self.unpack(out, E, U)
+        return self.unpack(out, Ep, U)[:E]
