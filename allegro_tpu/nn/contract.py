@@ -208,4 +208,6 @@ class Contracter(nn.Module):
         if self._pallas is not None:
             w = self.path_weights.astype(x1.dtype)
             return self._pallas(x1, x2_env, w)
+        if self.kernel_backend == "einsum_direct":
+            return self.contract_reference(x1, x2_env)
         return self.contract(x1, x2_env)
