@@ -1,0 +1,138 @@
+"""Single-point calculator API (the ASE-calculator role in the reference
+stack, provided there by nequip's ``NequIPCalculator``).
+
+``AllegroCalculator`` evaluates energy/forces/stress for one configuration at
+a time, managing neighbor lists and sticky padded buckets internally so
+repeated calls (geometry optimization, phonons, MD drivers) hit one compiled
+executable. If the optional ``ase`` package is importable, ``as_ase()``
+returns a genuine ``ase.calculators.calculator.Calculator`` wrapper.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from .data import keys, round_up, to_jax
+from .data.datasets import species_to_types
+from .data.neighborlist import neighbor_list
+
+
+class AllegroCalculator:
+    def __init__(
+        self,
+        model,
+        params,
+        r_max: Optional[float] = None,
+        type_names: Optional[Sequence[str]] = None,
+        atom_multiple: int = 8,
+        edge_multiple: int = 256,
+        dtype=np.float32,
+    ):
+        self.model = model
+        self.params = params
+        self.r_max = float(r_max if r_max is not None else model.config["r_max"])
+        self.type_names = list(
+            type_names if type_names is not None else model.config.get("type_names", [])
+        )
+        self.atom_multiple = atom_multiple
+        self.edge_multiple = edge_multiple
+        self.dtype = dtype
+        self._n_atoms_pad = 0
+        self._n_edges_pad = 0
+        self._jitted = None
+
+    def _fn(self):
+        if self._jitted is None:
+            import jax
+
+            apply = self.model.apply_with_derivatives
+
+            @jax.jit
+            def fn(params, data):
+                out = apply(params, data)
+                res = {
+                    keys.TOTAL_ENERGY: out[keys.TOTAL_ENERGY],
+                    keys.PER_ATOM_ENERGY: out[keys.PER_ATOM_ENERGY],
+                    keys.FORCES: out[keys.FORCES],
+                }
+                if keys.STRESS in out:
+                    res[keys.STRESS] = out[keys.STRESS]
+                    res[keys.VIRIAL] = out[keys.VIRIAL]
+                return res
+
+            self._jitted = fn
+        return self._jitted
+
+    def calculate(
+        self,
+        positions: np.ndarray,
+        atom_types: Optional[np.ndarray] = None,
+        atomic_numbers: Optional[np.ndarray] = None,
+        cell: Optional[np.ndarray] = None,
+        pbc=(False, False, False),
+    ) -> Dict[str, np.ndarray]:
+        if atom_types is None:
+            if atomic_numbers is None:
+                raise ValueError("need atom_types or atomic_numbers")
+            atom_types = species_to_types(atomic_numbers, self.type_names)
+        n = len(positions)
+        frame = {
+            keys.POSITIONS: np.asarray(positions, dtype=np.float64),
+            keys.ATOM_TYPES: np.asarray(atom_types, dtype=np.int32),
+        }
+        if cell is not None:
+            frame[keys.CELL] = np.asarray(cell, dtype=np.float64).reshape(3, 3)
+            frame[keys.PBC] = np.asarray(pbc, dtype=bool)
+        frame = neighbor_list(frame, self.r_max)
+        e = frame[keys.EDGE_INDEX].shape[1]
+        # sticky grow-only buckets: one compile across repeated calls
+        self._n_atoms_pad = max(self._n_atoms_pad, round_up(n + 1, self.atom_multiple))
+        self._n_edges_pad = max(self._n_edges_pad, round_up(max(e, 1), self.edge_multiple))
+        from .data import batch_frames
+
+        batch = to_jax(
+            batch_frames([frame], n_atoms=self._n_atoms_pad, n_edges=self._n_edges_pad, n_frames=1),
+            dtype=self.dtype,
+        )
+        out = self._fn()(self.params, batch)
+        res = {
+            "energy": float(np.asarray(out[keys.TOTAL_ENERGY]).sum()),
+            "energies": np.asarray(out[keys.PER_ATOM_ENERGY])[:n, 0],
+            "forces": np.asarray(out[keys.FORCES])[:n],
+        }
+        if keys.STRESS in out:
+            res["stress"] = np.asarray(out[keys.STRESS])[0]
+            res["virial"] = np.asarray(out[keys.VIRIAL])[0]
+        return res
+
+    def as_ase(self):
+        """Return an ``ase`` Calculator wrapper (requires ase installed)."""
+        from ase.calculators.calculator import Calculator, all_changes  # type: ignore
+
+        outer = self
+
+        class _ASEAllegro(Calculator):
+            implemented_properties = ["energy", "energies", "forces", "stress"]
+
+            def calculate(self, atoms=None, properties=("energy",), system_changes=all_changes):
+                super().calculate(atoms, properties, system_changes)
+                res = outer.calculate(
+                    atoms.get_positions(),
+                    atomic_numbers=atoms.get_atomic_numbers(),
+                    cell=np.asarray(atoms.get_cell()) if atoms.pbc.any() else None,
+                    pbc=atoms.pbc,
+                )
+                self.results = {
+                    "energy": res["energy"],
+                    "energies": res["energies"],
+                    "forces": res["forces"],
+                }
+                if "stress" in res:
+                    s = res["stress"]
+                    self.results["stress"] = np.array(
+                        [s[0, 0], s[1, 1], s[2, 2], s[1, 2], s[0, 2], s[0, 1]]
+                    )
+
+        return _ASEAllegro()

@@ -123,6 +123,7 @@ def batch_frames(
     """
     pos, types, eidx, shifts, batch = [], [], [], [], []
     cells, pbcs, energies, forces_l, nnodes = [], [], [], [], []
+    any_cell = any(keys.CELL in fr for fr in frames)
     offset = 0
     for f, fr in enumerate(frames):
         na = fr[keys.POSITIONS].shape[0]
@@ -146,12 +147,15 @@ def batch_frames(
         keys.POSITIONS: np.concatenate(pos, axis=0),
         keys.ATOM_TYPES: np.concatenate(types, axis=0),
         keys.EDGE_INDEX: np.concatenate(eidx, axis=1),
-        keys.EDGE_CELL_SHIFT: np.concatenate(shifts, axis=0),
         keys.BATCH: np.concatenate(batch, axis=0),
-        keys.CELL: np.stack(cells, axis=0),
-        keys.PBC: np.stack(pbcs, axis=0),
         keys.NUM_NODES: np.asarray(nnodes, dtype=np.int32),
     }
+    if any_cell:
+        # no cell anywhere → omit CELL/PBC/shifts so downstream consumers
+        # (stress path) know the system is open-boundary
+        data[keys.EDGE_CELL_SHIFT] = np.concatenate(shifts, axis=0)
+        data[keys.CELL] = np.stack(cells, axis=0)
+        data[keys.PBC] = np.stack(pbcs, axis=0)
     if energies:
         data[keys.TOTAL_ENERGY] = np.stack(energies, axis=0)
     if forces_l:

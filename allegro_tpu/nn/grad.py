@@ -30,37 +30,50 @@ def force_stress_wrapper(
         pos = data[keys.POSITIONS]
         has_cell = keys.CELL in data and keys.EDGE_CELL_SHIFT in data
         do_stress = with_stress and has_cell
+        cell = None
         if has_cell:
             cell = data[keys.CELL] if data[keys.CELL].ndim == 3 else data[keys.CELL][None]
-            n_frames = cell.shape[0]
-        else:
-            cell = None
-            n_frames = 1
         if keys.BATCH in data:
             batch = data[keys.BATCH]
         else:
             batch = jnp.zeros(pos.shape[0], dtype=jnp.int32)
 
-        def energy_of(pos_in, strain):
-            d = dict(data)
-            # symmetric strain: x' = x @ (I + ε); applied per frame
-            eps = 0.5 * (strain + jnp.swapaxes(strain, -1, -2))
-            eps_atoms = jnp.take(eps, batch, axis=0)  # [N, 3, 3]
-            d[keys.POSITIONS] = pos_in + jnp.einsum("ni,nij->nj", pos_in, eps_atoms)
-            if cell is not None:
-                d[keys.CELL] = cell + jnp.einsum("fij,fjk->fik", cell, eps)
-            # force recompute of geometry from (possibly strained) inputs
-            d.pop(keys.EDGE_VECTORS, None)
-            d.pop(keys.EDGE_LENGTH, None)
-            out_d = apply_fn(params, d)
+        def _masked_total(out_d):
             e_total = out_d[keys.TOTAL_ENERGY]
             if keys.FRAME_MASK in data:
                 e_total = e_total * data[keys.FRAME_MASK].astype(e_total.dtype)[:, None]
-            return jnp.sum(e_total), out_d
+            return jnp.sum(e_total)
 
-        strain0 = jnp.zeros((n_frames, 3, 3), dtype=pos.dtype)
-        grads, out = jax.grad(energy_of, argnums=(0, 1), has_aux=True)(pos, strain0)
-        de_dpos, de_deps = grads
+        if do_stress:
+
+            def energy_of(pos_in, strain):
+                d = dict(data)
+                # symmetric strain: x' = x @ (I + ε); applied per frame
+                eps = 0.5 * (strain + jnp.swapaxes(strain, -1, -2))
+                eps_atoms = jnp.take(eps, batch, axis=0)  # [N, 3, 3]
+                d[keys.POSITIONS] = pos_in + jnp.einsum("ni,nij->nj", pos_in, eps_atoms)
+                d[keys.CELL] = cell + jnp.einsum("fij,fjk->fik", cell, eps)
+                # force recompute of geometry from the strained inputs
+                d.pop(keys.EDGE_VECTORS, None)
+                d.pop(keys.EDGE_LENGTH, None)
+                out_d = apply_fn(params, d)
+                return _masked_total(out_d), out_d
+
+            strain0 = jnp.zeros((cell.shape[0], 3, 3), dtype=pos.dtype)
+            grads, out = jax.grad(energy_of, argnums=(0, 1), has_aux=True)(pos, strain0)
+            de_dpos, de_deps = grads
+        else:
+
+            def energy_of(pos_in):
+                d = dict(data)
+                d[keys.POSITIONS] = pos_in
+                d.pop(keys.EDGE_VECTORS, None)
+                d.pop(keys.EDGE_LENGTH, None)
+                out_d = apply_fn(params, d)
+                return _masked_total(out_d), out_d
+
+            de_dpos, out = jax.grad(energy_of, has_aux=True)(pos)
+            de_deps = None
         out = dict(out)
         forces = -de_dpos
         if keys.NODE_MASK in data:
