@@ -140,7 +140,10 @@ def run_compile(config: Dict[str, Any], workdir: str, ckpt: Optional[str], outpu
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="allegro_tpu")
-    p.add_argument("command", choices=["train", "test", "run", "compile", "md", "benchmark"])
+    p.add_argument(
+        "command",
+        choices=["train", "test", "run", "compile", "package", "md", "benchmark"],
+    )
     p.add_argument("-c", "--config", required=True)
     p.add_argument("-w", "--workdir", default=None)
     p.add_argument("--ckpt", default=None)
@@ -164,14 +167,18 @@ def main(argv=None) -> int:
             run_test(config, workdir, ckpt=args.ckpt)
         elif stage == "compile":
             run_compile(config, workdir, args.ckpt, args.output)
+        elif stage == "package":
+            from .train.package import run_package
+
+            run_package(config, workdir, args.ckpt, args.output or "model.atpkg")
         elif stage == "md":
             from .md.cli import run_md
 
             run_md(config, workdir)
         elif stage == "benchmark":
-            from .bench import run_benchmark
+            from .bench import run_benchmark_stage
 
-            run_benchmark(config, workdir)
+            run_benchmark_stage(config, workdir)
         else:
             raise ValueError(f"unknown stage {stage}")
     return 0

@@ -205,7 +205,11 @@ def FullAllegroEnergyModel(
     tp_kernel_backend: str = "einsum",
     **_unused,
 ) -> Model:
-    dtype = jnp.float64 if str(model_dtype) == "float64" else jnp.float32
+    dtype = {
+        "float64": jnp.float64,
+        "float32": jnp.float32,
+        "bfloat16": jnp.bfloat16,
+    }[str(model_dtype)]
     num_types = len(type_names)
     if isinstance(irreps_edge_sh, int):
         irreps_sh = Irreps.spherical_harmonics(irreps_edge_sh, p=-1)
