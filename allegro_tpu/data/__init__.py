@@ -11,6 +11,8 @@ from .atomic_data import (
     batch_frames,
     count_real_atoms,
     count_real_edges,
+    num_frames,
+    num_nodes,
     pad_data,
     round_up,
     to_jax,
@@ -25,6 +27,8 @@ __all__ = [
     "batch_frames",
     "count_real_atoms",
     "count_real_edges",
+    "num_frames",
+    "num_nodes",
     "pad_data",
     "round_up",
     "to_jax",

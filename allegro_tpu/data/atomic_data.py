@@ -27,6 +27,19 @@ def round_up(x: int, multiple: int) -> int:
     return int(-(-x // multiple) * multiple)
 
 
+def num_nodes(data: AtomsData) -> int:
+    """Padded atom-array length (role of AtomicDataDict.num_nodes)."""
+    return int(data[keys.POSITIONS].shape[0])
+
+
+def num_frames(data: AtomsData) -> int:
+    """Padded frame count (role of AtomicDataDict.num_frames)."""
+    for k in (keys.FRAME_MASK, keys.NUM_NODES, keys.CELL, keys.TOTAL_ENERGY):
+        if k in data:
+            return int(np.asarray(data[k]).shape[0])
+    return 1
+
+
 def count_real_atoms(data: AtomsData) -> int:
     if keys.NODE_MASK in data:
         return int(np.asarray(data[keys.NODE_MASK]).sum())

@@ -7,7 +7,10 @@ from .builders import (
     FullAllegroModel,
     Model,
     model_builder,
+    model_modifier,
+    modify,
     MODEL_BUILDERS,
+    MODEL_MODIFIERS,
 )
 
 __all__ = [
@@ -17,5 +20,8 @@ __all__ = [
     "FullAllegroModel",
     "Model",
     "model_builder",
+    "model_modifier",
+    "modify",
     "MODEL_BUILDERS",
+    "MODEL_MODIFIERS",
 ]

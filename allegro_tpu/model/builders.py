@@ -96,6 +96,10 @@ class Model:
     model_dtype: jnp.dtype
     config: Dict[str, Any]
     has_derivatives: bool = True
+    # full builder kwargs — lets model modifiers rebuild with changed fields
+    # while the parameter pytree stays identical (reference analogue:
+    # replace_submodules + load_state_dict, _contract.py:277,305-306)
+    builder_kwargs: Optional[Dict[str, Any]] = None
 
     def init(self, seed: int, example_data: Dict):
         data = {k: jnp.asarray(v) for k, v in example_data.items()}
@@ -205,6 +209,8 @@ def FullAllegroEnergyModel(
     tp_kernel_backend: str = "einsum",
     **_unused,
 ) -> Model:
+    _kwargs = {k: v for k, v in locals().items() if k not in ("_unused",)}
+    _kwargs.pop("_kwargs", None)
     dtype = {
         "float64": jnp.float64,
         "float32": jnp.float32,
@@ -334,7 +340,48 @@ def FullAllegroEnergyModel(
         model_dtype=dtype,
         config=config,
         has_derivatives=False,
+        builder_kwargs=_kwargs,
     )
+
+
+# --- model modifiers (role of nequip's model_modifier/replace_submodules
+#     registry consumed at reference _contract.py:253-310) ---
+
+MODEL_MODIFIERS: Dict[str, Callable] = {}
+
+
+def model_modifier(fn: Callable) -> Callable:
+    MODEL_MODIFIERS[fn.__name__] = fn
+    return fn
+
+
+def _rebuild(model: Model, **overrides) -> Model:
+    assert model.builder_kwargs is not None, "model was not built by a registered builder"
+    kwargs = dict(model.builder_kwargs)
+    kwargs.update(overrides)
+    new = FullAllegroEnergyModel(**kwargs)
+    return dataclasses.replace(new, has_derivatives=model.has_derivatives)
+
+
+@model_modifier
+def enable_PallasContracter(model: Model) -> Model:
+    """Swap the TP backend to the fused Pallas kernel (inference/MD path).
+    Parameter pytree unchanged — existing checkpoints keep working."""
+    return _rebuild(model, tp_kernel_backend="pallas")
+
+
+@model_modifier
+def enable_EinsumContracter(model: Model) -> Model:
+    return _rebuild(model, tp_kernel_backend="einsum")
+
+
+def modify(model: Model, modifiers) -> Model:
+    """Apply named modifiers (strings or {"modifier": name, ...} dicts)."""
+    for m in modifiers:
+        if isinstance(m, dict):
+            m = m.get("modifier")
+        model = MODEL_MODIFIERS[m](model)
+    return model
 
 
 @model_builder

@@ -12,7 +12,11 @@ from .channels import MakeWeightedChannels
 from .contract import Contracter
 from .sequential import SequentialGraphNet
 from .edge_geometry import EdgeLengthNormalizer, with_edge_vectors
-from .scalar_embed import TwoBodyBesselScalarEmbed, TwoBodySplineScalarEmbed
+from .scalar_embed import (
+    ProductTypeEmbedding,
+    TwoBodyBesselScalarEmbed,
+    TwoBodySplineScalarEmbed,
+)
 from .spline import PerClassSpline
 from .tensor_embed import TwoBodySphericalHarmonicTensorEmbed
 from .allegro import AllegroLayers
@@ -30,6 +34,7 @@ __all__ = [
     "SequentialGraphNet",
     "EdgeLengthNormalizer",
     "with_edge_vectors",
+    "ProductTypeEmbedding",
     "TwoBodyBesselScalarEmbed",
     "TwoBodySplineScalarEmbed",
     "PerClassSpline",

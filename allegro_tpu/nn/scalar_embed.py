@@ -33,8 +33,37 @@ def _edge_mask(data: Dict, like) -> jnp.ndarray:
     return jnp.ones((like.shape[0], 1), dtype=like.dtype)
 
 
+class ProductTypeEmbedding(nn.Module):
+    """Chemistry × radial product embedding
+    (role of the reference's ``ProductTypeEmbedding``,
+    ``allegro/nn/_edgeembed.py:49-84``): separate center/neighbor type
+    embeddings of dim/2 each, concatenated, times a linear projection of the
+    radial basis."""
+
+    num_types: int
+    dim: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, radial_basis, center_types, neighbor_types):
+        half = self.dim // 2
+        assert 2 * half == self.dim, "embedding dim must be even"
+        dtype = self.param_dtype
+        radial_proj = ScalarMLP(
+            self.dim, hidden_dims=(), name="radial_proj", param_dtype=dtype
+        )(radial_basis)
+        center_embed = nn.Embed(self.num_types, half, name="center_type_embed", param_dtype=dtype)
+        neighbor_embed = nn.Embed(
+            self.num_types, half, name="neighbor_type_embed", param_dtype=dtype
+        )
+        chem = jnp.concatenate(
+            [center_embed(center_types), neighbor_embed(neighbor_types)], axis=-1
+        )
+        return radial_proj * chem
+
+
 class TwoBodyBesselScalarEmbed(nn.Module):
-    """Bessel(norm_length) × cutoff → linear → × (center ⊗ neighbor type embed)."""
+    """Bessel(norm_length) × cutoff → ProductTypeEmbedding."""
 
     num_types: int
     output_dim: int = 64
@@ -48,20 +77,12 @@ class TwoBodyBesselScalarEmbed(nn.Module):
         dtype = self.param_dtype
         cutoff = PolynomialCutoff(self.polynomial_cutoff_p)(u)[:, None].astype(dtype)
         radial = bessel_basis(u, self.num_bessels).astype(dtype) * cutoff
-        radial_proj = ScalarMLP(
-            self.output_dim, hidden_dims=(), name="radial_proj", param_dtype=dtype
-        )(radial)
-        half = self.output_dim // 2
-        assert 2 * half == self.output_dim, "output_dim must be even"
-        center_embed = nn.Embed(self.num_types, half, name="center_type_embed", param_dtype=dtype)
-        neighbor_embed = nn.Embed(self.num_types, half, name="neighbor_type_embed", param_dtype=dtype)
         centers, neighbors = data[keys.EDGE_INDEX][0], data[keys.EDGE_INDEX][1]
         types = data[keys.ATOM_TYPES]
-        chem = jnp.concatenate(
-            [center_embed(jnp.take(types, centers)), neighbor_embed(jnp.take(types, neighbors))],
-            axis=-1,
-        )
-        emb = radial_proj * chem
+        emb = ProductTypeEmbedding(
+            num_types=self.num_types, dim=self.output_dim, param_dtype=dtype,
+            name="product_type_embed",
+        )(radial, jnp.take(types, centers), jnp.take(types, neighbors))
         out = dict(data)
         mask = _edge_mask(data, emb)
         out[keys.EDGE_CUTOFF] = cutoff * mask
