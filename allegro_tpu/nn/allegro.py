@@ -91,6 +91,12 @@ def _subset_dims(full: Irreps, subset: Irreps) -> List[int]:
     return dims
 
 
+# how the packed (pallas) path builds + env-sums the weighted SH tensor:
+# "dim_major": constructed dim-major (no transpose) but d separate scatters;
+# "edge_major": one big scatter then a transpose. Measured per-hardware.
+PACKED_ENV_VARIANT = "edge_major"
+
+
 class AllegroLayers(nn.Module):
     """Consumes EDGE_EMBEDDING/EDGE_ATTRS/EDGE_FEATURES, writes EDGE_SCALARS."""
 
@@ -192,10 +198,16 @@ class AllegroLayers(nn.Module):
                 env_w_p = env_w if env_w.shape[0] == Ep else jnp.pad(
                     env_w, ((0, Ep - E), (0, 0))
                 )
-                x2_dm = self._env_weighter.dim_major(sh_p, env_w_p)  # [d, Ep, U]
-                features = self.tps[layer].packed_call(
-                    features, x2_dm, centers_p, n_atoms, mul=U
-                )
+                if PACKED_ENV_VARIANT == "dim_major":
+                    x2_dm = self._env_weighter.dim_major(sh_p, env_w_p)  # [d, Ep, U]
+                    features = self.tps[layer].packed_call(
+                        features, x2_dm, centers_p, n_atoms, mul=U
+                    )
+                else:  # edge_major: one big scatter, then a transpose-pack
+                    weighted_sh = self._env_weighter(sh_p, env_w_p)  # [Ep, U, d]
+                    features = self.tps[layer].packed_call_edge_major(
+                        features, weighted_sh, centers_p, n_atoms
+                    )
                 tp_scalars = features[0].reshape(-1, U)[:E]  # [E, mul]
             else:
                 weighted_sh = self._env_weighter(sh, env_w)  # [E, mul, dim_sh]

@@ -193,6 +193,17 @@ class Contracter(nn.Module):
         )(x2_dm)
         return jnp.take(seg, centers, axis=1)
 
+    def packed_call_edge_major(self, x1_packed, x2, centers, n_atoms: int):
+        """Packed fast path with edge-major env aggregation: ONE segment-sum
+        over [E, U, d2], then a transpose-pack."""
+        assert self._pallas is not None
+        x2_env = self.env_sum(x2, centers, n_atoms)
+        from ..ops.pallas_contract import pack_edge_major
+
+        x2p = pack_edge_major(x2_env)
+        w = self.path_weights.astype(x1_packed.dtype)
+        return self._pallas.contract_packed(x1_packed, x2p, w, U=x2.shape[1])
+
     def packed_call(self, x1_packed, x2_dm, centers, n_atoms: int, mul: int):
         """Fast path: x1 already packed [d1, R, 128]; x2 dim-major [d2, E, U]
         (env sum fused here; the lane reshape is free). Returns [d3, R, 128]."""
