@@ -139,9 +139,10 @@ def load_exported(path_or_bytes) -> LoadedModel:
 def compile_model(config: Dict, workdir: str, ckpt: Optional[str], output: str) -> str:
     """CLI stage: load checkpoint, export, write the artifact."""
     from ..train import Trainer, load_checkpoint
-    from ..train.config import build_model, resolve
+    from ..train.config import build_model
+    from ..train.package import resolved_config_for
 
-    cfg = resolve(config, stats=None) if "model" in config else config
+    cfg = resolved_config_for(config, ckpt or workdir)
     model = build_model(cfg["model"])
     ccfg = dict(cfg.get("compile", {}))
     n_atoms = int(ccfg.get("n_atoms", 512))

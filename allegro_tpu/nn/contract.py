@@ -193,6 +193,13 @@ class Contracter(nn.Module):
         )(x2_dm)
         return jnp.take(seg, centers, axis=1)
 
+    def _pallas_weights(self, dtype):
+        # The pallas backend is inference/MD scope (like the reference's
+        # Triton backend): weights never need gradients there, and stopping
+        # them lets XLA dead-code-eliminate the weight-gradient kernel from
+        # the force (VJP) pass entirely.
+        return jax.lax.stop_gradient(self.path_weights).astype(dtype)
+
     def packed_call_edge_major(self, x1_packed, x2, centers, n_atoms: int):
         """Packed fast path with edge-major env aggregation: ONE segment-sum
         over [E, U, d2], then a transpose-pack."""
@@ -201,7 +208,7 @@ class Contracter(nn.Module):
         from ..ops.pallas_contract import pack_edge_major
 
         x2p = pack_edge_major(x2_env)
-        w = self.path_weights.astype(x1_packed.dtype)
+        w = self._pallas_weights(x1_packed.dtype)
         return self._pallas.contract_packed(x1_packed, x2p, w, U=x2.shape[1])
 
     def packed_call(self, x1_packed, x2_dm, centers, n_atoms: int, mul: int):
@@ -211,13 +218,13 @@ class Contracter(nn.Module):
         x2_env = self.env_sum_dim_major(x2_dm, centers, n_atoms)
         d2 = x2_env.shape[0]
         x2p = x2_env.reshape(d2, -1, self._pallas.LANES)
-        w = self.path_weights.astype(x1_packed.dtype)
+        w = self._pallas_weights(x1_packed.dtype)
         return self._pallas.contract_packed(x1_packed, x2p, w, U=mul)
 
     def __call__(self, x1, x2, centers, n_atoms: int):
         x2_env = self.env_sum(x2, centers, n_atoms)
         if self._pallas is not None:
-            w = self.path_weights.astype(x1.dtype)
+            w = self._pallas_weights(x1.dtype)
             return self._pallas(x1, x2_env, w)
         if self.kernel_backend == "einsum_direct":
             return self.contract_reference(x1, x2_env)

@@ -71,11 +71,22 @@ def load_package(path: str) -> Tuple[Any, Any, Dict]:
     return model, params, meta
 
 
+def resolved_config_for(config: Dict, workdir: str) -> Dict:
+    """Prefer the statistics-resolved config saved by the train stage."""
+    from .config import resolve
+
+    path = os.path.join(workdir, "resolved_config.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return resolve(config, stats=None)
+
+
 def run_package(config: Dict, workdir: str, ckpt: Optional[str], output: str) -> str:
     from . import Trainer, load_checkpoint
-    from .config import build_model, resolve
+    from .config import build_model
 
-    cfg = resolve(config, stats=None)
+    cfg = resolved_config_for(config, ckpt or workdir)
     model_cfg = cfg["model"]
     model = build_model(model_cfg)
     from ..data import keys
