@@ -21,12 +21,15 @@ Design (TPU-first):
 - **Layout conversion as kernels**: XLA's HBM transpose of a tiny minor dim
   costs ~3x the TP kernel itself (measured), so pack/unpack are Pallas
   on-chip transposes.
-- **Closed derivative family**: every VJP is again a kernel from the same
-  family with permuted entry roles — the index-permutation trick of the
+- **Derivatives by index permutation**: every VJP is again a kernel from the
+  same family with permuted entry roles — the index-permutation trick of the
   Triton backward (``_flashallegro.py:348-360,583-639``) — and the weight
   gradient is a triple-product reduction whose own VJPs are permuted TPs.
-  The family is closed under differentiation, so force training (grad of
-  grad) and higher orders all stay on the fused kernels.
+  NOTE: ``jax.custom_vjp`` forbids reverse-over-reverse regardless of how the
+  rules are composed, so this backend (like the reference's Triton backend)
+  is scoped to inference/MD (first-order forces). The trainable backend —
+  the same kernels registered as JAX primitives with JVP + transpose rules,
+  where the trilinear family genuinely closes — is tracked in TODO.md.
 """
 
 from __future__ import annotations
@@ -200,6 +203,29 @@ tp_contract.defvjp(_tp_fwd, _tp_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def tp_contract_infer(a, b, w, entries, dims: Tuple[int, int, int], block: int = 256):
+    """Inference-scope TP: identical forward, but the backward returns a ZERO
+    weight cotangent without running the weight-gradient kernel (XLA cannot
+    DCE the custom-call). Use when weights are constants (MD/inference)."""
+    return _run_tp(a, b, w, entries, dims[2], block)
+
+
+def _tpi_fwd(a, b, w, entries, dims, block):
+    return _run_tp(a, b, w, entries, dims[2], block), (a, b, w)
+
+
+def _tpi_bwd(entries, dims, block, res, g):
+    a, b, w = res
+    d_a, d_b, d_out = dims
+    ga = tp_contract_infer(g, b, w, _swap_a_out(entries), (d_out, d_b, d_a), block)
+    gb = tp_contract_infer(a, g, w, _swap_b_out(entries), (d_a, d_out, d_b), block)
+    return ga, gb, jnp.zeros_like(w)
+
+
+tp_contract_infer.defvjp(_tpi_fwd, _tpi_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def tp_gradw(a, b, g, entries, dims: Tuple[int, int, int], block: int = 256):
     """Weight gradient: [P, 128] = sum over rows of c * a[i] * b[j] * g[k]."""
     n_paths = 1 + max(e[3] for e in entries)
@@ -261,12 +287,21 @@ class PallasTPBackend:
 
     LANES = LANES
 
-    def __init__(self, w3j_packed: np.ndarray, block_rows: int = 256, block_edges: int = 512):
+    def __init__(
+        self,
+        w3j_packed: np.ndarray,
+        block_rows: int = 256,
+        block_edges: int = 512,
+        infer_only: bool = True,
+    ):
         self.entries = sparse_entries(w3j_packed)
         self.n_paths, self.d1, self.d2, self.d3 = w3j_packed.shape
         self.dims = (self.d1, self.d2, self.d3)
         self.block_rows = block_rows
         self.block_edges = block_edges
+        # inference scope (reference-Triton-equivalent): skip the weight-grad
+        # kernel in VJPs; set False to exercise tp_gradw (tests)
+        self.infer_only = infer_only
 
     def tile_weights(self, w, U: int):
         """[U, P] or [P] path weights → lane-tiled [P, 128] (period U)."""
@@ -286,7 +321,8 @@ class PallasTPBackend:
 
     def contract_packed(self, x1p, x2p, w, U: int):
         w_tiled = self.tile_weights(w, U).astype(x1p.dtype)
-        return tp_contract(x1p, x2p, w_tiled, self.entries, self.dims, self.block_rows)
+        op = tp_contract_infer if self.infer_only else tp_contract
+        return op(x1p, x2p, w_tiled, self.entries, self.dims, self.block_rows)
 
     def __call__(self, x1, x2, w):
         """Edge-major convenience: [E, U, d1], [E, U, d2] → [E, U, d3]."""

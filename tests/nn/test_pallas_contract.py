@@ -56,6 +56,9 @@ def test_forward_consistency(irr, coupling, rng):
 
 @pytest.mark.parametrize("coupling", [True, False])
 def test_gradient_consistency(coupling, rng):
+    """Input gradients (the force path) must match the einsum backend.
+    (Weight gradients are zero by design in the inference-scope backend;
+    the tp_gradw kernel is covered by test_tp_gradw_correct.)"""
     irr = IRREPS_GRID[1]
     mul = 8
     ref, ker = _pair(irr, coupling, mul)
@@ -71,10 +74,42 @@ def test_gradient_consistency(coupling, rng):
             return jnp.sum(out * out)
         return f
 
-    g_ref = jax.grad(loss(ref), argnums=(0, 1, 2))(params, x1, x2)
-    g_ker = jax.grad(loss(ker), argnums=(0, 1, 2))(params, x1, x2)
+    g_ref = jax.grad(loss(ref), argnums=(1, 2))(params, x1, x2)
+    g_ker = jax.grad(loss(ker), argnums=(1, 2))(params, x1, x2)
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_ker)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-4, rtol=5e-4)
+
+
+def test_tp_gradw_correct(rng):
+    """The weight-gradient kernel (trainable scope) vs autodiff of the
+    reference einsum formulation."""
+    from allegro_tpu.nn.contract import enumerate_instructions, pack_w3j
+    from allegro_tpu.ops.pallas_contract import sparse_entries, tp_contract
+
+    i1 = Irreps("1x0e+1x1o")
+    ins = enumerate_instructions(i1, i1, i1)
+    W3 = pack_w3j(i1, i1, i1, ins)
+    entries = sparse_entries(W3)
+    P, d1, d2, d3 = W3.shape
+    R, L = 8, 128
+    a = jnp.asarray(rng.randn(d1, R, L), jnp.float32)
+    b = jnp.asarray(rng.randn(d2, R, L), jnp.float32)
+    w = jnp.asarray(rng.rand(P, L), jnp.float32)
+
+    def loss_kernel(w):
+        out = tp_contract(a, b, w, entries, (d1, d2, d3), 8)
+        return jnp.sum(out**2)
+
+    def loss_ref(w):
+        W3j = jnp.asarray(W3, jnp.float32)
+        # out[k,r,l] = sum_p w[p,l] * sum_ij W3[p,i,j,k] a[i,r,l] b[j,r,l]
+        t = jnp.einsum("pijk,irl,jrl->pkrl", W3j, a, b)
+        out = jnp.einsum("pl,pkrl->krl", w, t)
+        return jnp.sum(out**2)
+
+    gw_k = jax.grad(loss_kernel)(w)
+    gw_r = jax.grad(loss_ref)(w)
+    np.testing.assert_allclose(np.asarray(gw_k), np.asarray(gw_r), atol=1e-3, rtol=1e-3)
 
 
 def test_pack_unpack_roundtrip(rng):
