@@ -37,14 +37,23 @@ class MakeWeightedChannels:
             self.weight_numel = self.mul_out
 
     def __call__(self, edge_attr, weights):
-        """edge_attr [E, dim], weights [E, weight_numel] → [E, mul, dim]."""
+        """edge_attr [E, dim], weights [E, weight_numel] → [E, mul, dim].
+
+        Computed in the flat [E, mul*dim] layout: elementwise ops on arrays
+        whose minor dim is the tiny irreps dim waste ~93% of the TPU's 128
+        lanes (measured 12x slower); the boundary reshapes are free.
+        """
         E = edge_attr.shape[0]
+        dim = self.irreps_in.dim
         if self.weight_individual_irreps:
             w = weights.reshape(E, self.mul_out, len(self.irreps_in))
-            w_full = w @ jnp.asarray(self._rtoi, dtype=weights.dtype)  # [E, mul, dim]
+            w_full = (w @ jnp.asarray(self._rtoi, dtype=weights.dtype)).reshape(
+                E, self.mul_out * dim
+            )
         else:
-            w_full = weights.reshape(E, self.mul_out, 1)
-        return edge_attr[:, None, :] * w_full
+            w_full = jnp.repeat(weights.reshape(E, self.mul_out), dim, axis=1)
+        sh_rep = jnp.tile(edge_attr, (1, self.mul_out))  # [E, mul*dim]
+        return (sh_rep * w_full).reshape(E, self.mul_out, dim)
 
     # static map: basis dim -> irrep index (for the dim-major construction)
     def _dim_to_irrep(self):
