@@ -68,6 +68,7 @@ class Simulation:
         langevin_gamma: Optional[float] = None,
         langevin_kT: float = 0.0,
         seed: int = 0,
+        strategy: str = "edge_shard",  # or "slab": spatial domain decomposition
     ):
         self.model = model
         self.params = params
@@ -89,6 +90,9 @@ class Simulation:
             mesh = jax.sharding.Mesh(np.array(jax.devices()[:1]), ("dp",))
         self.mesh = mesh
         self.n_dev = int(np.prod(mesh.devices.shape))
+        self.strategy = strategy
+        if strategy not in ("edge_shard", "slab"):
+            raise ValueError(f"unknown MD strategy {strategy}")
         self._edge_bucket = 0
         self._block_fn = None
         self._ref_positions: Optional[np.ndarray] = None
@@ -241,8 +245,108 @@ class Simulation:
             out_shardings=(rep_sh, rep_sh, rep_sh, rep_sh),
         )
 
+    # --- slab domain-decomposition strategy ---
+    def _run_slab(self, state: MDState, n_steps: int, callback: Optional[Callable]) -> MDState:
+        """MD with true spatial decomposition: each device integrates its own
+        slab's atoms; ghost positions ride ppermute halos every force call
+        (the pair_allegro MPI-timestep analogue, SURVEY.md §3.4). Atoms
+        migrate between slabs at re-decomposition time (host)."""
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel import SlabDecomposition
+
+        pos = np.asarray(state.positions, dtype=np.float64)
+        vel = np.asarray(state.velocities, dtype=np.float64)
+        dt = self.dt
+        steps = self.steps_per_block
+        mins = getattr(self, "_slab_mins", {"No": 0, "S": 0, "El": 0})
+        done = 0
+        dd = None
+        block_fn = getattr(self, "_slab_block_fn", None)
+        inv_m_j = None
+        while done < n_steps:
+            if dd is None or self._needs_rebuild(pos):
+                pos = self._wrap(pos)
+                dd = SlabDecomposition(
+                    pos,
+                    self.types,
+                    self.cell,
+                    self.pbc,
+                    self.r_max,
+                    self.mesh,
+                    skin=self.skin,
+                    edge_multiple=self.edge_multiple,
+                    dtype=np.float64 if self.dtype == np.float64 else np.float32,
+                    min_owned_pad=mins["No"],
+                    min_send_pad=mins["S"],
+                    min_edges_pad=mins["El"],
+                )
+                self.rebuilds += 1
+                if (dd.No, dd.S, dd.El) != (mins["No"], mins["S"], mins["El"]):
+                    if mins["No"]:
+                        self.recompiles += 1
+                    mins = {"No": dd.No, "S": dd.S, "El": dd.El}
+                    self._slab_mins = mins
+                    block_fn = None
+                self._ref_positions = pos.copy()
+                masses_local = np.zeros((dd.D, dd.No, 1))
+                for d_, idx in enumerate(dd.owned):
+                    masses_local[d_, : len(idx), 0] = self.masses_per_atom[idx]
+                inv_m = np.zeros_like(masses_local)
+                np.divide(1.0, masses_local, out=inv_m, where=masses_local > 0)
+                dtp = dd.arrays["own_pos"].dtype
+                inv_m_j = jnp.asarray(inv_m, dtp)
+                if block_fn is None:
+                    # one compiled block serves all same-shape rebuilds: the
+                    # halo/edge arrays and masses are ARGUMENTS, not constants
+                    raw = dd.make_energy_forces_fn(
+                        self.model, self.params, jit=False, bind_arrays=False
+                    )
+
+                    def block(pos_l, vel_l, arrays, inv_m_a):
+                        def one(carry, _):
+                            p, v, f = carry
+                            v = v + (0.5 * dt) * f * inv_m_a
+                            p = p + dt * v
+                            _, f = raw(p, arrays)
+                            v = v + (0.5 * dt) * f * inv_m_a
+                            return (p, v, f), None
+
+                        _, f0 = raw(pos_l, arrays)
+                        (p, v, f), _ = jax.lax.scan(
+                            one, (pos_l, vel_l, f0), None, length=steps
+                        )
+                        e_pot, _ = raw(p, arrays)
+                        return p, v, e_pot
+
+                    sh = NamedSharding(self.mesh, P("dp"))
+                    rep = NamedSharding(self.mesh, P())
+                    arr_sh = {k: sh for k in dd.arrays}
+                    block_fn = jax.jit(
+                        block,
+                        in_shardings=(sh, sh, arr_sh, sh),
+                        out_shardings=(sh, sh, rep),
+                    )
+                    self._slab_block_fn = block_fn
+            p_l, v_l, e_pot = block_fn(
+                jnp.asarray(dd.scatter_positions(pos, wrap=False)),
+                jnp.asarray(dd.scatter_vectors(vel)),
+                dd.arrays,
+                inv_m_j,
+            )
+            pos = dd.gather_positions(np.asarray(jax.device_get(p_l)))
+            vel = dd.gather_vectors(np.asarray(jax.device_get(v_l)))
+            done += steps
+            state = MDState(pos, vel, state.step + steps)
+            if callback is not None:
+                callback(state, float(e_pot))
+        return state
+
     # --- public API ---
     def run(self, state: MDState, n_steps: int, callback: Optional[Callable] = None) -> MDState:
+        if self.strategy == "slab":
+            return self._run_slab(state, n_steps, callback)
         pos = np.asarray(state.positions, dtype=np.float64)
         vel = np.asarray(state.velocities, dtype=np.float64)
         done = 0

@@ -290,7 +290,7 @@ class PallasTPBackend:
     def __init__(
         self,
         w3j_packed: np.ndarray,
-        block_rows: int = 256,
+        block_rows: int = 64,  # small blocks: accumulators stay in vregs
         block_edges: int = 512,
         infer_only: bool = True,
     ):

@@ -49,6 +49,9 @@ class SlabDecomposition:
         atom_multiple: int = 8,
         edge_multiple: int = 128,
         dtype=np.float32,
+        min_owned_pad: int = 0,
+        min_send_pad: int = 0,
+        min_edges_pad: int = 0,
     ):
         self.mesh = mesh
         self.axis_name = mesh.axis_names[0]
@@ -91,7 +94,11 @@ class SlabDecomposition:
 
         owned = [np.where(slab_of == d)[0] for d in range(D)]
         self.n_own = np.array([len(o) for o in owned])
-        No = round_up(max(int(self.n_own.max()), 1) + 1, atom_multiple)
+        # sticky-bucket minima let callers (MD re-decomposition) keep one
+        # compiled signature across rebuilds
+        No = max(
+            round_up(max(int(self.n_own.max()), 1) + 1, atom_multiple), min_owned_pad
+        )
         self.No = No
         self.owned = owned
 
@@ -105,9 +112,12 @@ class SlabDecomposition:
             lo_d, hi_d = d / D, (d + 1) / D
             send_right.append(np.where(f >= hi_d - w)[0])
             send_left.append(np.where(f <= lo_d + w)[0])
-        S = round_up(
-            max(max((len(s) for s in send_right + send_left), default=1), 1),
-            atom_multiple,
+        S = max(
+            round_up(
+                max(max((len(s) for s in send_right + send_left), default=1), 1),
+                atom_multiple,
+            ),
+            min_send_pad,
         )
         self.S = S
 
@@ -191,7 +201,7 @@ class SlabDecomposition:
             local_edges.append((i, j, sh))
             max_edges = max(max_edges, len(i))
 
-        El = round_up(max_edges, edge_multiple)
+        El = max(round_up(max_edges, edge_multiple), min_edges_pad)
         eidx = np.zeros((D, 2, El), np.int32)
         eshift = np.zeros((D, El, 3))
         emask = np.zeros((D, El), bool)
@@ -224,27 +234,54 @@ class SlabDecomposition:
         self._pbc_j = jnp.asarray(pbc_local[None])
 
     # --- global <-> local mappings (host-side) ---
-    def scatter_positions(self, positions: np.ndarray) -> np.ndarray:
+    def scatter_positions(self, positions: np.ndarray, wrap: bool = True) -> np.ndarray:
+        """Distribute positions to their owners. ``wrap=True`` only for the
+        positions the decomposition was BUILT from — wrapping moving positions
+        mid-validity would teleport boundary-crossers out from under their
+        static ghost metadata (energy jumps)."""
         positions = np.asarray(positions, dtype=np.float64) - self._origin
-        frac = positions @ np.linalg.inv(self.cell)
-        frac[:, self.pbc] -= np.floor(frac[:, self.pbc])
-        positions = frac @ self.cell
+        if wrap:
+            frac = positions @ np.linalg.inv(self.cell)
+            frac[:, self.pbc] -= np.floor(frac[:, self.pbc])
+            positions = frac @ self.cell
         out = np.zeros((self.D, self.No, 3))
         for d, idx in enumerate(self.owned):
             out[d, : len(idx)] = positions[idx]
         return out.astype(self.dtype)
 
-    def gather_forces(self, forces_local: np.ndarray) -> np.ndarray:
+    def scatter_vectors(self, vectors: np.ndarray) -> np.ndarray:
+        """Distribute per-atom vectors (velocities etc.) without wrapping."""
+        out = np.zeros((self.D, self.No, 3))
+        v = np.asarray(vectors, dtype=np.float64)
+        for d, idx in enumerate(self.owned):
+            out[d, : len(idx)] = v[idx]
+        return out.astype(self.dtype)
+
+    def gather_vectors(self, local: np.ndarray) -> np.ndarray:
+        """Collect per-atom vectors back to the global ordering."""
         out = np.zeros((self.n_atoms, 3))
-        f = np.asarray(forces_local, dtype=np.float64)
+        f = np.asarray(local, dtype=np.float64)
         for d, idx in enumerate(self.owned):
             out[idx] = f[d, : len(idx)]
         return out
 
+    # alias kept for the energy/forces API
+    def gather_forces(self, forces_local: np.ndarray) -> np.ndarray:
+        return self.gather_vectors(forces_local)
+
+    def gather_positions(self, local: np.ndarray) -> np.ndarray:
+        return self.gather_vectors(local) + self._origin
+
     # --- the distributed step ---
-    def make_energy_forces_fn(self, model, params):
-        """Returns jitted ``fn(own_pos [D,No,3]) -> (E_total, forces [D,No,3])``
-        running as one shard_map program over the mesh."""
+    def make_energy_forces_fn(self, model, params, jit: bool = True, bind_arrays: bool = True):
+        """Returns ``fn(own_pos [D,No,3]) -> (E_total, forces [D,No,3])``
+        running as one shard_map program over the mesh.
+
+        ``jit=False`` returns the un-jitted mapped function for composition
+        inside larger jitted programs (e.g. the MD integrator block);
+        ``bind_arrays=False`` additionally leaves the halo/edge arrays as an
+        explicit argument ``fn(pos, arrays)`` so one compiled program serves
+        successive re-decompositions of the same shape signature."""
         from jax.sharding import PartitionSpec as P
 
         ax = self.axis_name
@@ -303,5 +340,7 @@ class SlabDecomposition:
             step, mesh=self.mesh, in_specs=in_specs, out_specs=(P(), P(ax)),
             check_vma=False,
         )
-        jitted = jax.jit(lambda pos: mapped(pos, A))
-        return jitted
+        if not bind_arrays:
+            return mapped
+        fn = lambda pos: mapped(pos, A)
+        return jax.jit(fn) if jit else fn
