@@ -200,11 +200,9 @@ class Contracter(nn.Module):
         return jnp.take(seg, centers, axis=1)
 
     def _pallas_weights(self, dtype):
-        # The pallas backend is inference/MD scope (like the reference's
-        # Triton backend): weights never need gradients there, and stopping
-        # them lets XLA dead-code-eliminate the weight-gradient kernel from
-        # the force (VJP) pass entirely.
-        return jax.lax.stop_gradient(self.path_weights).astype(dtype)
+        # primitive-based kernels only compute the cotangents that are
+        # requested, so weights stay differentiable (training-capable backend)
+        return self.path_weights.astype(dtype)
 
     def packed_call_edge_major(self, x1_packed, x2, centers, n_atoms: int):
         """Packed fast path with edge-major env aggregation: ONE segment-sum

@@ -321,8 +321,14 @@ class PallasTPBackend:
 
     def contract_packed(self, x1p, x2p, w, U: int):
         w_tiled = self.tile_weights(w, U).astype(x1p.dtype)
-        op = tp_contract_infer if self.infer_only else tp_contract
-        return op(x1p, x2p, w_tiled, self.entries, self.dims, self.block_rows)
+        # primitive-based op: JVP + transpose rules → arbitrary-order AD
+        # (force training included); cotangents are only computed for the
+        # operands that actually need them.
+        from .tp_primitives import tp
+
+        return tp(
+            x1p, x2p, w_tiled, entries=self.entries, dims=self.dims, block=self.block_rows
+        )
 
     def __call__(self, x1, x2, w):
         """Edge-major convenience: [E, U, d1], [E, U, d2] → [E, U, d3]."""

@@ -177,6 +177,61 @@ def test_full_model_consistency(rng):
         atol=5e-4, rtol=1e-3,
     )
 
+    # force-loss TRAINING gradients: second-order AD through the kernels
+    # (enabled by the primitive-based backend with JVP+transpose rules —
+    # this is what the reference's cuEquivariance backend provides)
+    def force_loss(model):
+        def f(p):
+            out = model(p, b)
+            return (out[keys.FORCES] ** 2).sum() + (out[keys.TOTAL_ENERGY] ** 2).sum()
+        return f
+
+    g_ref = jax.grad(force_loss(m_ref))(params)
+    g_ker = jax.grad(force_loss(m_ker))(params)
+    for x, y in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_ker)):
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=5e-3, rtol=5e-3)
+
+
+def test_pallas_backend_under_vmap(rng):
+    """The trainer vmaps the model over stacked per-device batches — the TP
+    primitive's batching rule must hold (shared weights ride the row axis)."""
+    from allegro_tpu.data import batch_frames, keys, to_jax
+    from allegro_tpu.data.neighborlist import neighbor_list
+    from allegro_tpu.model import AllegroModel
+
+    def make(backend):
+        return AllegroModel(
+            r_max=2.2, type_names=["A", "B"], l_max=1, num_layers=1,
+            num_scalar_features=8, num_tensor_features=4,
+            scalar_embed_mlp_hidden_layers_width=8,
+            allegro_mlp_hidden_layers_width=8, readout_mlp_hidden_layers_width=8,
+            avg_num_neighbors=5.0, per_type_energy_scales=1.0,
+            per_type_energy_shifts=0.0, model_dtype="float32",
+            tp_kernel_backend=backend,
+        )
+
+    r = np.random.RandomState(4)
+    rows = []
+    for k in range(3):
+        fr = {
+            keys.POSITIONS: r.randn(8, 3) * 1.2,
+            keys.ATOM_TYPES: r.randint(0, 2, 8).astype(np.int32),
+        }
+        fr = neighbor_list(fr, 2.2)
+        rows.append(
+            to_jax(batch_frames([fr], n_atoms=10, n_edges=64, n_frames=1), dtype=np.float32)
+        )
+    stacked = {k: jnp.stack([row[k] for row in rows]) for k in rows[0]}
+    m_ref, m_ker = make("einsum"), make("pallas")
+    params = m_ref.init(0, rows[0])
+
+    def forces(model):
+        return jax.vmap(lambda row: model(params, row)[keys.FORCES])(stacked)
+
+    f_ref = forces(m_ref)
+    f_ker = forces(m_ker)
+    np.testing.assert_allclose(np.asarray(f_ker), np.asarray(f_ref), atol=5e-4, rtol=1e-3)
+
 
 def test_entry_permutations():
     from allegro_tpu.nn.contract import pack_w3j, enumerate_instructions
