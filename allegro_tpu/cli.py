@@ -153,6 +153,18 @@ def main(argv=None) -> int:
     from .train.config import load_config
 
     config = load_config(args.config)
+    # global options (role of the reference's global_options.allow_tf32,
+    # configs/tutorial.yaml:166-167): on TPU, f32 matmuls default to the
+    # MXU's bf16-multiply path; "highest" forces full f32 precision.
+    gopt = config.get("global_options", {}) or {}
+    if "matmul_precision" in gopt:
+        import jax
+
+        jax.config.update("jax_default_matmul_precision", str(gopt["matmul_precision"]))
+    if gopt.get("allow_tf32") is False:
+        import jax
+
+        jax.config.update("jax_default_matmul_precision", "highest")
     workdir = args.workdir or os.path.join(
         "outputs", os.path.splitext(os.path.basename(args.config))[0]
     )
