@@ -97,6 +97,43 @@ def test_target_registry():
     assert keys.POSITIONS in t.inputs and keys.FORCES in t.outputs
 
 
+def test_export_f32_tolerance(rng):
+    """Compiled-vs-eager consistency at float32 — the reference's compile
+    tolerance (5e-5 f32, ``tests/model/test_allegro.py:72-74``)."""
+    model = AllegroModel(
+        r_max=2.6, type_names=["A", "B"], l_max=1, num_layers=1,
+        num_scalar_features=8, num_tensor_features=4,
+        scalar_embed_mlp_hidden_layers_width=8,
+        allegro_mlp_hidden_layers_width=8, readout_mlp_hidden_layers_width=8,
+        avg_num_neighbors=6.0, per_type_energy_scales=1.0,
+        per_type_energy_shifts=0.0, model_dtype="float32",
+    )
+    fr = neighbor_list(_periodic_frame(rng), 2.6)
+    g = ghost_atom_conversion(fr)
+    g.pop("_ghost_owner")
+    n, e = g[keys.POSITIONS].shape[0], g[keys.EDGE_INDEX].shape[1]
+    n_pad, e_pad = n + 4, e + 16
+    b = to_jax(batch_frames([g], n_atoms=n_pad, n_edges=e_pad, n_frames=1), dtype=np.float32)
+    params = model.init(0, b)
+    direct = model(params, b)
+    blob = export_model(model, params, n_atoms=n_pad, n_edges=e_pad, dtype=np.float32)
+    loaded = load_exported(blob)
+    pos = np.zeros((n_pad, 3), np.float32); pos[:n] = g[keys.POSITIONS]
+    ei = np.zeros((2, e_pad), np.int32); ei[:, :e] = g[keys.EDGE_INDEX]
+    at = np.zeros(n_pad, np.int32); at[:n] = g[keys.ATOM_TYPES]
+    nm = np.zeros(n_pad, bool); nm[:n] = True
+    em = np.zeros(e_pad, bool); em[:e] = True
+    out = loaded(pos, ei, at, nm, em)
+    np.testing.assert_allclose(
+        np.asarray(out[keys.FORCES]), np.asarray(direct[keys.FORCES]), atol=5e-5
+    )
+    np.testing.assert_allclose(
+        float(np.asarray(out[keys.TOTAL_ENERGY]).sum()),
+        float(np.asarray(direct[keys.TOTAL_ENERGY]).sum()),
+        atol=5e-5,
+    )
+
+
 def test_export_roundtrip(rng):
     model = _model()
     fr = neighbor_list(_periodic_frame(rng), 2.6)
