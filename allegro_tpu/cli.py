@@ -35,6 +35,10 @@ def _build_data(cfg: Dict[str, Any], seed: int = 0):
     shuffle_seed = int(dcfg.pop("seed", seed))
     if target.endswith("sgdml_npz_dataset"):
         ds = sgdml_npz_dataset(dcfg.pop("path"), r_max=r_max, type_names=type_names)
+    elif target.endswith("extxyz_dataset"):
+        from .data.xyz import extxyz_dataset
+
+        ds = extxyz_dataset(dcfg.pop("path"), r_max=r_max, type_names=type_names)
     else:
         frames = synthetic_molecular_frames(
             n_frames=int(dcfg.pop("n_frames", 64)),
@@ -87,8 +91,16 @@ def run_train(config: Dict[str, Any], workdir: str) -> str:
     model = build_model(cfg["model"])
     tcfg = dict(cfg.get("trainer", {}))
     opt_cfg = dict(tcfg.pop("optimizer", {"learning_rate": 1e-3}))
-    opt_cfg.pop("_target_", None)
-    optimizer = optax.adam(float(opt_cfg.get("learning_rate", opt_cfg.get("lr", 1e-3))))
+    opt_target = str(opt_cfg.pop("_target_", "optax.adam")).rsplit(".", 1)[-1]
+    lr = float(opt_cfg.pop("learning_rate", opt_cfg.pop("lr", 1e-3)))
+    sched_cfg = tcfg.pop("lr_scheduler", None)
+    if sched_cfg:
+        scfg = dict(sched_cfg)
+        s_target = str(scfg.pop("_target_", "optax.exponential_decay")).rsplit(".", 1)[-1]
+        sched_fn = getattr(optax, s_target)
+        lr = sched_fn(init_value=lr, **{k: v for k, v in scfg.items()})
+    opt_fn = getattr(optax, opt_target, optax.adam)
+    optimizer = opt_fn(lr, **{k: v for k, v in opt_cfg.items()})
     trainer = Trainer(
         model,
         optimizer=optimizer,
