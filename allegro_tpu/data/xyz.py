@@ -52,8 +52,21 @@ def read_extxyz(path: str, limit: Optional[int] = None) -> List[Dict[str, np.nda
                 block = [r[c0 : c0 + width] for r in rows]
                 c0 += width
                 if name == "species":
-                    z = np.array([ATOMIC_NUMBERS[s[0]] for s in block], dtype=np.int32)
-                    frame[keys.ATOMIC_NUMBERS] = z
+                    syms = [s[0] for s in block]
+                    if all(s in ATOMIC_NUMBERS for s in syms):
+                        frame[keys.ATOMIC_NUMBERS] = np.array(
+                            [ATOMIC_NUMBERS[s] for s in syms], dtype=np.int32
+                        )
+                    else:
+                        # non-chemical species labels (e.g. generic type names):
+                        # map to contiguous type indices in order of appearance
+                        seen: Dict[str, int] = {}
+                        for s in syms:
+                            seen.setdefault(s, len(seen))
+                        frame[keys.ATOM_TYPES] = np.array(
+                            [seen[s] for s in syms], dtype=np.int32
+                        )
+                        frame["_species"] = list(seen)
                 elif name == "pos":
                     frame[keys.POSITIONS] = np.array(block, dtype=np.float64)
                 elif name in ("forces", "force"):

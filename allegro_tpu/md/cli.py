@@ -75,15 +75,36 @@ def run_md(config: Dict[str, Any], workdir: str):
     st = MDState(pos, v0)
     log = []
 
+    traj = []
+    dump = bool(mcfg.get("dump_trajectory", False))
+
     def cb(s, e_pot):
         ke = kinetic_energy(s.velocities, sim.masses_per_atom)
         log.append({"step": s.step, "e_pot": e_pot, "e_kin": ke, "e_tot": e_pot + ke})
         print(f"step {s.step}: E_pot={e_pot:.6f} E_kin={ke:.6f} E_tot={e_pot + ke:.6f}")
+        if dump:
+            traj.append(
+                {
+                    keys.POSITIONS: s.positions.copy(),
+                    keys.ATOM_TYPES: types,
+                    keys.CELL: cell,
+                    keys.PBC: np.ones(3, bool),
+                }
+            )
 
     st = sim.run(st, int(mcfg.get("n_steps", 100)), callback=cb)
     os.makedirs(workdir, exist_ok=True)
     with open(os.path.join(workdir, "md_log.json"), "w") as f:
         json.dump(log, f)
+    if traj:
+        from ..data.xyz import write_extxyz
+
+        write_extxyz(
+            os.path.join(workdir, "trajectory.extxyz"),
+            traj,
+            type_names=cfg["model"].get("type_names"),
+        )
+        print(f"trajectory written: {os.path.join(workdir, 'trajectory.extxyz')}")
     print(
         f"MD done: {st.step} steps, {sim.rebuilds} neighbor rebuilds, "
         f"{sim.recompiles} bucket growths"
