@@ -66,7 +66,14 @@ def run_benchmark(n_atoms=4096, r_max=4.0, iters=20, warmup=3, verbose=False, ba
     batch = to_jax(batch_frames([frame], n_frames=1), dtype=np.float32)
 
     if backend is None:
-        backend = os.environ.get("BENCH_BACKEND", "einsum_direct")
+        backend = os.environ.get("BENCH_BACKEND")
+    if backend is None:
+        # einsum_direct is fastest at small scale, but XLA materializes a
+        # [E,U,d1,d3] HBM temporary; the fused pallas kernels never do, which
+        # is what fits large single-chip systems (measured: 32k atoms is
+        # pallas-only on a 16GB chip). Beyond ~50k atoms/chip: slab domain
+        # decomposition (allegro_tpu.parallel), as pair_allegro scales by MPI.
+        backend = "einsum_direct" if n_atoms <= 20000 else "pallas"
     model = AllegroModel(
         r_max=r_max,
         type_names=["A", "B", "C"],

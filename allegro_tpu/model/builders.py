@@ -207,6 +207,7 @@ def FullAllegroEnergyModel(
     pair_potential: Optional[Dict] = None,
     model_dtype: str = "float32",
     tp_kernel_backend: str = "einsum",
+    remat: bool = False,
     **_unused,
 ) -> Model:
     _kwargs = {k: v for k, v in locals().items() if k not in ("_unused",)}
@@ -276,6 +277,7 @@ def FullAllegroEnergyModel(
                 weight_individual_irreps=weight_individual_irreps,
                 param_dtype=dtype,
                 tp_kernel_backend=tp_kernel_backend,
+                remat=remat,
             ),
         ),
         (

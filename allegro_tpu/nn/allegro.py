@@ -32,6 +32,7 @@ from typing import Dict, List, Sequence, Tuple
 import math
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..data import keys
@@ -111,6 +112,10 @@ class AllegroLayers(nn.Module):
     weight_individual_irreps: bool = True
     param_dtype: jnp.dtype = jnp.float32
     tp_kernel_backend: str = "einsum"  # or "pallas"
+    # rematerialize each layer in the backward pass: trades ~30% compute for
+    # O(1)-layer activation memory — required for >~50k-atom force calls on a
+    # 16GB chip (jax.checkpoint per layer)
+    remat: bool = False
 
     def setup(self):
         irreps_sh = Irreps(self.irreps_sh)
@@ -190,33 +195,52 @@ class AllegroLayers(nn.Module):
             else:
                 sh_p, centers_p = sh, centers
             features = self.tps[0]._pallas.pack(features)
+        else:
+            sh_p, centers_p, Ep = sh, centers, E
         proj = self.first_projection(data[keys.EDGE_EMBEDDING])
         scalar_blocks = [proj[:, :S]]
         env_w = proj[:, S:]
+        if self.remat:
+            # flax's lifted remat (plain jax.checkpoint leaks tracers when
+            # params are created inside during init)
+            body = nn.remat(
+                AllegroLayers._layer_body, static_argnums=(1,), prevent_cse=False
+            )
+        else:
+            body = AllegroLayers._layer_body
+        statics = (packed, E, U, Ep, n_atoms)
         for layer in range(self.num_layers):
-            if packed:
-                env_w_p = env_w if env_w.shape[0] == Ep else jnp.pad(
-                    env_w, ((0, Ep - E), (0, 0))
-                )
-                if PACKED_ENV_VARIANT == "dim_major":
-                    x2_dm = self._env_weighter.dim_major(sh_p, env_w_p)  # [d, Ep, U]
-                    features = self.tps[layer].packed_call(
-                        features, x2_dm, centers_p, n_atoms, mul=U
-                    )
-                else:  # edge_major: one big scatter, then a transpose-pack
-                    weighted_sh = self._env_weighter(sh_p, env_w_p)  # [Ep, U, d]
-                    features = self.tps[layer].packed_call_edge_major(
-                        features, weighted_sh, centers_p, n_atoms
-                    )
-                tp_scalars = features[0].reshape(-1, U)[:E]  # [E, mul]
-            else:
-                weighted_sh = self._env_weighter(sh, env_w)  # [E, mul, dim_sh]
-                features = self.tps[layer](features, weighted_sh, centers, n_atoms)
-                tp_scalars = features[:, :, 0]  # leading 0e per channel
-            latent_in = jnp.concatenate(scalar_blocks + [tp_scalars], axis=-1)
-            lat = self.latents[layer](latent_in)
+            features, lat = body(
+                self, (layer,) + statics, features, env_w, tuple(scalar_blocks),
+                sh_p, centers_p,
+            )
             scalar_blocks.append(lat[:, :S])
             env_w = lat[:, S:]
         out = dict(data)
         out[keys.EDGE_SCALARS] = jnp.concatenate(scalar_blocks, axis=-1)
         return out
+
+    def _layer_body(self, statics, features, env_w, scalars_tuple, sh_p, centers_p):
+        layer, packed, E, U, Ep, n_atoms = statics
+        if packed:
+            env_w_p = env_w if env_w.shape[0] == Ep else jnp.pad(
+                env_w, ((0, Ep - E), (0, 0))
+            )
+            if PACKED_ENV_VARIANT == "dim_major":
+                x2_dm = self._env_weighter.dim_major(sh_p, env_w_p)
+                feats = self.tps[layer].packed_call(
+                    features, x2_dm, centers_p, n_atoms, mul=U
+                )
+            else:  # edge_major: one big scatter, then a transpose-pack
+                weighted_sh = self._env_weighter(sh_p, env_w_p)  # [Ep, U, d]
+                feats = self.tps[layer].packed_call_edge_major(
+                    features, weighted_sh, centers_p, n_atoms
+                )
+            tp_scalars = feats[0].reshape(-1, U)[:E]  # [E, mul]
+        else:
+            weighted_sh = self._env_weighter(sh_p, env_w)  # [E, mul, dim_sh]
+            feats = self.tps[layer](features, weighted_sh, centers_p, n_atoms)
+            tp_scalars = feats[:, :, 0]  # leading 0e per channel
+        latent_in = jnp.concatenate(list(scalars_tuple) + [tp_scalars], axis=-1)
+        lat = self.latents[layer](latent_in)
+        return feats, lat
