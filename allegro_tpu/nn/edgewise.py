@@ -20,17 +20,22 @@ from ..data import keys
 
 
 class EdgewiseReduce:
-    """Stateless scatter-sum of ``field`` into ``out_field`` over edge centers."""
+    """Stateless scatter reduction of ``field`` into ``out_field`` over edge
+    centers; ``reduce`` ∈ {"sum", "mean"} (the reference also declares min/max
+    but only sum is used by the model chain)."""
 
     def __init__(
         self,
         field: str = keys.EDGE_ENERGY,
         out_field: str = keys.PER_ATOM_ENERGY,
         factor: Optional[float] = None,
+        reduce: str = "sum",
     ):
+        assert reduce in ("sum", "mean"), reduce
         self.field = field
         self.out_field = out_field
         self.factor = factor
+        self.reduce = reduce
 
     def __call__(self, data: Dict) -> Dict:
         x = data[self.field]
@@ -39,5 +44,13 @@ class EdgewiseReduce:
         n_atoms = data[keys.POSITIONS].shape[0]
         centers = data[keys.EDGE_INDEX][0]
         out = dict(data)
-        out[self.out_field] = jax.ops.segment_sum(x, centers, num_segments=n_atoms)
+        summed = jax.ops.segment_sum(x, centers, num_segments=n_atoms)
+        if self.reduce == "mean":
+            if keys.EDGE_MASK in data:
+                ones = data[keys.EDGE_MASK].astype(x.dtype)
+            else:
+                ones = jnp.ones(x.shape[0], dtype=x.dtype)
+            counts = jax.ops.segment_sum(ones, centers, num_segments=n_atoms)
+            summed = summed / jnp.maximum(counts, 1.0)[:, None]
+        out[self.out_field] = summed
         return out
