@@ -377,6 +377,13 @@ def enable_EinsumContracter(model: Model) -> Model:
     return _rebuild(model, tp_kernel_backend="einsum")
 
 
+# reference-config compatibility aliases (``--modifiers enable_TritonContracter``
+# / ``enable_CuEquivarianceContracter`` map onto the Pallas kernel backend —
+# it covers both roles: inference-only Triton and trainable cuEq)
+MODEL_MODIFIERS["enable_TritonContracter"] = enable_PallasContracter
+MODEL_MODIFIERS["enable_CuEquivarianceContracter"] = enable_PallasContracter
+
+
 def modify(model: Model, modifiers) -> Model:
     """Apply named modifiers (strings or {"modifier": name, ...} dicts)."""
     for m in modifiers:
