@@ -207,6 +207,7 @@ def FullAllegroEnergyModel(
     pair_potential: Optional[Dict] = None,
     model_dtype: str = "float32",
     tp_kernel_backend: str = "einsum",
+    tp_chunk_edges: int = 0,
     remat: bool = False,
     **_unused,
 ) -> Model:
@@ -277,6 +278,7 @@ def FullAllegroEnergyModel(
                 weight_individual_irreps=weight_individual_irreps,
                 param_dtype=dtype,
                 tp_kernel_backend=tp_kernel_backend,
+                tp_chunk_edges=tp_chunk_edges,
                 remat=remat,
             ),
         ),

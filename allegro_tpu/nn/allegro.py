@@ -112,6 +112,7 @@ class AllegroLayers(nn.Module):
     weight_individual_irreps: bool = True
     param_dtype: jnp.dtype = jnp.float32
     tp_kernel_backend: str = "einsum"  # or "pallas"
+    tp_chunk_edges: int = 0  # >0: chunk the einsum TP over edges (lax.map)
     # rematerialize each layer in the backward pass: trades ~30% compute for
     # O(1)-layer activation memory — required for >~50k-atom force calls on a
     # 16GB chip (jax.checkpoint per layer)
@@ -147,6 +148,7 @@ class AllegroLayers(nn.Module):
                     scatter_factor=scatter_factor,
                     param_dtype=self.param_dtype,
                     kernel_backend=self.tp_kernel_backend,
+                    chunk_edges=self.tp_chunk_edges or None,
                 )
             )
             last = layer == self.num_layers - 1

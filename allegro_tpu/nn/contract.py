@@ -101,6 +101,10 @@ class Contracter(nn.Module):
     # Swapping backends keeps the parameter pytree identical (the reference
     # guarantees the same via state_dict transfer, _contract.py:277,305-306).
     kernel_backend: str = "einsum"
+    # chunk the direct-einsum contraction over edges (lax.map): bounds XLA's
+    # [E_chunk, mul, d1, d3] temporary so it stays memory-feasible at large
+    # edge counts. None = no chunking.
+    chunk_edges: Optional[int] = None
 
     def setup(self):
         irreps_in1 = Irreps(self.irreps_in1)
@@ -150,7 +154,25 @@ class Contracter(nn.Module):
 
     def contract_reference(self, x1, x2):
         """Direct three-operand einsum — the correctness oracle the optimized
-        paths and kernel backends are tested against."""
+        paths and kernel backends are tested against. With ``chunk_edges``
+        set, the contraction maps over edge chunks (bounded temporaries)."""
+        E = x1.shape[0]
+        if self.chunk_edges is not None and E > self.chunk_edges:
+            C = self.chunk_edges
+            Ep = -(-E // C) * C
+            pad = Ep - E
+            if pad:
+                x1 = jnp.pad(x1, ((0, pad), (0, 0), (0, 0)))
+                x2 = jnp.pad(x2, ((0, pad), (0, 0), (0, 0)))
+            x1c = x1.reshape(Ep // C, C, *x1.shape[1:])
+            x2c = x2.reshape(Ep // C, C, *x2.shape[1:])
+            out = jax.lax.map(
+                lambda ab: self._contract_direct(ab[0], ab[1]), (x1c, x2c)
+            )
+            return out.reshape(Ep, *out.shape[2:])[:E]
+        return self._contract_direct(x1, x2)
+
+    def _contract_direct(self, x1, x2):
         dtype = x1.dtype
         w3j = jnp.asarray(self._w3j, dtype=dtype)
         w = self.path_weights.astype(dtype)
