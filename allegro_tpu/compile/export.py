@@ -59,6 +59,12 @@ def export_model(
     )
     exported = jexport.export(jax.jit(fn))(*args)
     blob = exported.serialize()
+    # raw StableHLO MLIR too: consumable by a C++ PJRT client
+    # (PJRT_Client_Compile takes MLIR; the jax.export blob is jax-specific)
+    try:
+        mlir_blob = exported.mlir_module_serialized
+    except AttributeError:
+        mlir_blob = str(exported.mlir_module()).encode()
 
     params_np = jax.tree.map(lambda x: np.asarray(x), params)
     flat, treedef = jax.tree.flatten(params_np)
@@ -78,6 +84,7 @@ def export_model(
     out = io.BytesIO()
     with zipfile.ZipFile(out, "w") as z:
         z.writestr("model.stablehlo", blob)
+        z.writestr("model.mlir", mlir_blob)
         z.writestr("params.npz", buf.getvalue())
         z.writestr("meta.json", json.dumps(meta, indent=2))
     return out.getvalue()

@@ -8,6 +8,18 @@ all-reduce the force contributions — the ICI-native analogue of pair_allegro's
 MPI spatial decomposition, exploiting the same strict locality.
 """
 
-from .simulation import MDState, Simulation, kinetic_energy, temperature
+from .simulation import (
+    MDState,
+    Simulation,
+    kinetic_energy,
+    maxwell_boltzmann_velocities,
+    temperature,
+)
 
-__all__ = ["MDState", "Simulation", "kinetic_energy", "temperature"]
+__all__ = [
+    "MDState",
+    "Simulation",
+    "kinetic_energy",
+    "maxwell_boltzmann_velocities",
+    "temperature",
+]

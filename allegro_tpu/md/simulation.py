@@ -49,6 +49,22 @@ def temperature(velocities, masses, k_B: float = 1.0) -> float:
     return 2.0 * kinetic_energy(velocities, masses) / (3.0 * n * k_B)
 
 
+def maxwell_boltzmann_velocities(
+    masses_per_atom: np.ndarray,
+    kT: float,
+    seed: int = 0,
+    zero_momentum: bool = True,
+) -> np.ndarray:
+    """Draw initial velocities at temperature ``kT`` (units with k_B = 1)."""
+    rng = np.random.RandomState(seed)
+    m = np.asarray(masses_per_atom, dtype=np.float64)[:, None]
+    v = rng.randn(len(m), 3) * np.sqrt(kT / m)
+    if zero_momentum:
+        p = (m * v).sum(axis=0) / m.sum()
+        v = v - p
+    return v
+
+
 class Simulation:
     def __init__(
         self,
