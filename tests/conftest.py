@@ -23,6 +23,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+# Reference-parity numerics: the reference defaults to allow_tf32=False
+# (full-f32 matmuls, /root/reference/configs/tutorial.yaml:166-167). Recent JAX
+# builds default f32 matmuls/einsums to bf16-multiply semantics (~1e-3 rel err)
+# even on CPU, which breaks every 5e-5-tolerance consistency test. Pin highest.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
