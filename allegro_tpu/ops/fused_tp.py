@@ -1,0 +1,523 @@
+"""Fused neighbor-environment + Clebsch-Gordan tensor-product Pallas kernels.
+
+The second-generation TPU kernel family: where ``pallas_contract`` fuses only
+the CG contraction (leaving the environment scatter/gather and layout packs to
+XLA — measured ~5 ms/layer of pure data movement at production edge counts),
+this module fuses the WHOLE per-layer dataflow of the reference Contracter
+(``allegro/nn/_strided/_contract.py:185-251``) and of cuEquivariance's
+in-kernel gather (``_cueq_contracter.py:104-123``):
+
+    env-weight the SH basis  →  scatter edges→atoms  →  gather atoms→edges
+    →  sparse-CG tensor product
+
+into four Pallas kernels that never materialize a per-edge environment array
+in HBM.
+
+Key design elements (all TPU-idiomatic, no atomics, no manual DMA):
+
+- **Rank space**: edges are center-sorted; atoms are renumbered by their rank
+  among atoms-that-have-edges. Ranks are DENSE along the edge axis, so a block
+  of ``eb`` edges touches at most ``eb`` consecutive rank rows — the window
+  bound that makes static block shapes safe for ANY edge distribution (a
+  count-based bound; an atom-id-based window has no such bound).
+- **Two-window blocking**: the per-block rank window ``[rank_0, rank_0+eb)``
+  straddles at most two ``eb``-aligned tiles of the environment array. Each
+  kernel takes/produces the environment as TWO block-specs whose index maps
+  are driven by a scalar-prefetched ``win[]`` array — standard Pallas
+  pipelining (with revisit-elision) does all the data movement.
+- **One-hot MXU gather/scatter**: within a block, atoms→edges expansion is
+  ``G @ window`` and edges→atoms reduction is ``Gᵀ @ values`` with the 0/1
+  matrix ``G[e, a] = (rank_e - win*eb == a)`` built from an iota — the MXU is
+  otherwise idle in this VPU-bound kernel, and a one-hot product is exact.
+- **Sequential-grid accumulation**: scatter outputs accumulate in VMEM across
+  consecutive grid steps mapping to the same window (``win[]`` advances by at
+  most one per block — guaranteed by rank density), initialized on window
+  change. Never-visited rows are harmless: gathers only read visited windows.
+
+The kernels are registered as JAX primitives in ``fused_primitives`` (JVP +
+transpose rules — the trilinear family closes under differentiation, giving
+arbitrary-order AD for force training, the role of the reference's
+cuEquivariance training backend).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Entry = Tuple[int, int, int, int, float]  # (i, j, k, p, c)
+
+# interpreter mode for CPU tests (set by tests/conftest via env or directly)
+INTERPRET = False
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+# ---------------------------------------------------------------------------
+# block plan (XLA ops, shared by every kernel of a force call)
+# ---------------------------------------------------------------------------
+
+
+def num_rank_rows(n_atoms: int, eb: int) -> int:
+    """Static row count of the rank-space environment arrays."""
+    return ((n_atoms + 1) // eb + 2) * eb
+
+
+def make_block_plan(centers: jnp.ndarray, eb: int):
+    """Per-block window indices + per-edge window offsets, from sorted centers.
+
+    centers: int32 [Ep] non-decreasing, padded edges carry an ``n_atoms``
+    sentinel (sorted last). Ep must be a multiple of ``eb``.
+
+    Returns (win [NB] int32, offs_padded [NB*8, eb] int32). ``offs`` values
+    lie in [0, 2*eb): row ``rank_e - win[b]*eb`` of the (two-tile) window.
+    """
+    (Ep,) = centers.shape
+    assert Ep % eb == 0, (Ep, eb)
+    nb = Ep // eb
+    neq = (centers[1:] != centers[:-1]).astype(jnp.int32)
+    ranks = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(neq)])
+    win = ranks[::eb] // eb  # [NB]
+    offs = ranks - jnp.repeat(win * eb, eb, total_repeat_length=Ep)
+    offs = offs.reshape(nb, 1, eb)
+    # pad rows to 8 so the block shape (8, eb) is tile-legal; row 0 is real
+    offs_padded = jnp.concatenate(
+        [offs, jnp.zeros((nb, 7, eb), jnp.int32)], axis=1
+    ).reshape(nb * 8, eb)
+    return win, offs_padded
+
+
+def sort_entries_for_pairs(entries: Sequence[Entry], a: int = 0, b: int = 1):
+    """Sort entries so consecutive ones share the (entries[a], entries[b]) pair
+    (one product formed per distinct pair inside the kernels)."""
+    return tuple(sorted(entries, key=lambda e: (e[a], e[b], e[2])))
+
+
+def combine_scatter_outputs(dA, dB, win, eb: int):
+    """Sum the two scatter-window partials into one environment array.
+
+    Each partial array only has DEFINED contents on the window blocks its
+    spec visited (A: [win0, win_last], B: shifted by one); everything else is
+    uninitialized memory. Mask before adding so garbage never reaches the
+    gathered row range [win0*eb, (win_last+2)*eb)."""
+    rows = dA.shape[0]
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    w0, wl = win[0], win[-1]
+    mA = jnp.logical_and(r >= w0 * eb, r < (wl + 1) * eb)
+    mB = jnp.logical_and(r >= (w0 + 1) * eb, r < (wl + 2) * eb)
+    zero = jnp.zeros((), dA.dtype)
+    return jnp.where(mA, dA, zero) + jnp.where(mB, dB, zero)
+
+
+# ---------------------------------------------------------------------------
+# in-kernel helpers
+# ---------------------------------------------------------------------------
+
+
+def _gather_windows(o, envA, envB, eb: int, dtype):
+    """One-hot gather of per-edge environment rows from the two window tiles.
+
+    o [eb] int32 in [0, 2*eb); envA/envB [eb, C]. Exact: each G row has at
+    most one nonzero (1.0), so MXU accumulation order cannot change the value;
+    HIGHEST precision keeps f32 mantissas intact through the bf16-based MXU.
+    """
+    ii = jax.lax.broadcasted_iota(jnp.int32, (o.shape[0], eb), 1)
+    oc = o[:, None]
+    ga = (ii == oc).astype(dtype)
+    gb = (ii == (oc - eb)).astype(dtype)
+    dn = (((1,), (0,)), ((), ()))
+    acc = jnp.float32
+    return jax.lax.dot_general(
+        ga, envA, dn, precision=_HIGHEST, preferred_element_type=acc
+    ) + jax.lax.dot_general(gb, envB, dn, precision=_HIGHEST, preferred_element_type=acc)
+
+
+def _scatter_windows(o, vals, eb: int, dtype):
+    """One-hot scatter (transpose of gather): per-window sums of vals rows.
+
+    Returns (sumA [eb, C], sumB [eb, C]). Exact for the same reason only when
+    each window row receives one edge; with many edges per atom the MXU
+    accumulates in f32 (preferred_element_type) — same precision as XLA's
+    segment_sum.
+    """
+    ii = jax.lax.broadcasted_iota(jnp.int32, (eb, o.shape[0]), 0)
+    orow = o[None, :]
+    gat = (ii == orow).astype(dtype)
+    gbt = (ii == (orow - eb)).astype(dtype)
+    dn = (((1,), (0,)), ((), ()))
+    sa = jax.lax.dot_general(
+        gat, vals, dn, precision=_HIGHEST, preferred_element_type=jnp.float32
+    )
+    sb = jax.lax.dot_general(
+        gbt, vals, dn, precision=_HIGHEST, preferred_element_type=jnp.float32
+    )
+    return sa, sb
+
+
+def _tp_accumulate(x_cols, y_cols, w_ref, entries, U: int, d_out: int, out_dtype):
+    """acc[k] = Σ_entries c * w[p] * x_cols[i] * y_cols[j]; returns list [d_out].
+
+    x_cols/y_cols: callables dim -> [eb, U] value (so callers can slice from
+    refs or computed arrays uniformly). Consecutive entries sharing (i, j)
+    reuse the product.
+    """
+    acc = [None] * d_out
+    cur = (-1, -1)
+    t = None
+    for i, j, k, p, c in entries:
+        if (i, j) != cur:
+            t = x_cols(i) * y_cols(j)
+            cur = (i, j)
+        wrow = w_ref[p, :][None, :].astype(t.dtype)  # [1, U] broadcast
+        contrib = t * (c * wrow)
+        acc[k] = contrib if acc[k] is None else acc[k] + contrib
+    return acc
+
+
+def _first_visit(win_ref):
+    b = pl.program_id(0)
+    prev = win_ref[jnp.maximum(b - 1, 0)]
+    return jnp.logical_or(b == 0, win_ref[b] != prev)
+
+
+# ---------------------------------------------------------------------------
+# kernel B: fused gather + TP   out[e, kU+u] = Σ c w[p,u] x[e, iU+u] env[rank_e, jU+u]
+# ---------------------------------------------------------------------------
+
+
+def _gather_tp_kernel(
+    win_ref, offs_ref, x_ref, envA_ref, envB_ref, w_ref, out_ref, *, entries, dims, U, eb
+):
+    d1, d2, d3 = dims
+    o = offs_ref[0, :]
+    env_e = _gather_windows(o, envA_ref[...], envB_ref[...], eb, x_ref.dtype)
+    acc = _tp_accumulate(
+        lambda i: x_ref[:, i * U : (i + 1) * U],
+        lambda j: env_e[:, j * U : (j + 1) * U].astype(x_ref.dtype),
+        w_ref,
+        entries,
+        U,
+        d3,
+        out_ref.dtype,
+    )
+    for k in range(d3):
+        if acc[k] is None:
+            out_ref[:, k * U : (k + 1) * U] = jnp.zeros_like(
+                out_ref[:, k * U : (k + 1) * U]
+            )
+        else:
+            out_ref[:, k * U : (k + 1) * U] = acc[k].astype(out_ref.dtype)
+
+
+def gather_tp_call(x, envA, envB, w, offs_p, win, *, entries, dims, U, eb):
+    """x [Ep, d1*U], envA/envB [Na, d2*U], w [P, U] → out [Ep, d3*U]."""
+    Ep = x.shape[0]
+    nb = Ep // eb
+    d1, d2, d3 = dims
+    entries = sort_entries_for_pairs(entries)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((8, eb), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((eb, d1 * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((eb, d3 * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+    )
+    kern = functools.partial(_gather_tp_kernel, entries=entries, dims=dims, U=U, eb=eb)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((Ep, d3 * U), x.dtype),
+        grid_spec=grid_spec,
+        interpret=INTERPRET,
+    )(win, offs_p, x, envA, envB, w)
+
+
+# ---------------------------------------------------------------------------
+# kernel C: TP + scatter   denv[r, jU+u] = Σ_{e: rank_e=r} Σ c w[p,u] x[e,iU+u] g[e,kU+u]
+# ---------------------------------------------------------------------------
+
+
+def _tp_scatter_kernel(
+    win_ref, offs_ref, x_ref, g_ref, w_ref, outA_ref, outB_ref, *, entries, dims, U, eb
+):
+    d1, d2, d3 = dims
+    o = offs_ref[0, :]
+    # per-edge values indexed by the ATOM dim j: entries roles (i -> x, k -> g)
+    acc = _tp_accumulate(
+        lambda i: x_ref[:, i * U : (i + 1) * U],
+        lambda k: g_ref[:, k * U : (k + 1) * U],
+        w_ref,
+        tuple((i, k, j, p, c) for (i, j, k, p, c) in entries),
+        U,
+        d2,
+        outA_ref.dtype,
+    )
+    vals = jnp.concatenate(
+        [
+            a if a is not None else jnp.zeros((o.shape[0], U), x_ref.dtype)
+            for a in acc
+        ],
+        axis=1,
+    )
+    sa, sb = _scatter_windows(o, vals, eb, x_ref.dtype)
+    first = _first_visit(win_ref)
+
+    @pl.when(first)
+    def _():
+        outA_ref[...] = jnp.zeros_like(outA_ref)
+        outB_ref[...] = jnp.zeros_like(outB_ref)
+
+    outA_ref[...] = outA_ref[...] + sa.astype(outA_ref.dtype)
+    outB_ref[...] = outB_ref[...] + sb.astype(outB_ref.dtype)
+
+
+def tp_scatter_call(x, g, w, offs_p, win, *, entries, dims, U, eb, n_rank_rows):
+    """x [Ep, d1*U], g [Ep, d3*U], w [P, U] → (dA, dB) each [Na, d2*U]."""
+    Ep = x.shape[0]
+    nb = Ep // eb
+    d1, d2, d3 = dims
+    entries = sort_entries_for_pairs(entries, 0, 2)  # reuse x_i * g_k products
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((8, eb), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((eb, d1 * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((eb, d3 * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
+        ],
+    )
+    kern = functools.partial(_tp_scatter_kernel, entries=entries, dims=dims, U=U, eb=eb)
+    shape = jax.ShapeDtypeStruct((n_rank_rows, d2 * U), x.dtype)
+    return pl.pallas_call(
+        kern,
+        out_shape=[shape, shape],
+        grid_spec=grid_spec,
+        interpret=INTERPRET,
+    )(win, offs_p, x, g, w)
+
+
+# ---------------------------------------------------------------------------
+# kernel DW: weight gradient   dw[p, u] = Σ_e Σ_{(i,j,k)∈p} c x_i env_j g_k
+# ---------------------------------------------------------------------------
+
+
+def _gather_dw_kernel(
+    win_ref, offs_ref, x_ref, envA_ref, envB_ref, g_ref, out_ref, *, entries, dims, U, eb, n_paths
+):
+    o = offs_ref[0, :]
+    env_e = _gather_windows(o, envA_ref[...], envB_ref[...], eb, x_ref.dtype)
+    acc = [None] * n_paths
+    cur = (-1, -1)
+    t = None
+    for i, j, k, p, c in entries:
+        if (i, j) != cur:
+            t = x_ref[:, i * U : (i + 1) * U] * env_e[:, j * U : (j + 1) * U].astype(
+                x_ref.dtype
+            )
+            cur = (i, j)
+        red = c * jnp.sum(
+            t * g_ref[:, k * U : (k + 1) * U], axis=0, keepdims=True
+        )  # [1, U]
+        acc[p] = red if acc[p] is None else acc[p] + red
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    for p in range(n_paths):
+        if acc[p] is not None:
+            out_ref[p, :] = out_ref[p, :] + acc[p][0].astype(out_ref.dtype)
+
+
+def gather_dw_call(x, envA, envB, g, offs_p, win, *, entries, dims, U, eb):
+    """→ dw [P, U]."""
+    Ep = x.shape[0]
+    nb = Ep // eb
+    d1, d2, d3 = dims
+    n_paths = 1 + max(e[3] for e in entries)
+    entries = sort_entries_for_pairs(entries)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((8, eb), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((eb, d1 * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((eb, d3 * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n_paths, U), lambda b, w_: (0, 0), memory_space=pltpu.VMEM),
+    )
+    kern = functools.partial(
+        _gather_dw_kernel, entries=entries, dims=dims, U=U, eb=eb, n_paths=n_paths
+    )
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n_paths, U), x.dtype),
+        grid_spec=grid_spec,
+        interpret=INTERPRET,
+    )(win, offs_p, x, envA, envB, g)
+
+
+# ---------------------------------------------------------------------------
+# kernel A: env build + scatter
+#   env[r, jU+u] = Σ_{e: rank_e=r} sh[e, j] * wexp[e, irr(j)*U+u]
+# ---------------------------------------------------------------------------
+
+
+def _env_scatter_kernel(
+    win_ref, offs_ref, sh_ref, wexp_ref, outA_ref, outB_ref, *, dim_to_irr, U, eb
+):
+    o = offs_ref[0, :]
+    d2 = len(dim_to_irr)
+    cols = []
+    for j in range(d2):
+        irr = dim_to_irr[j]
+        cols.append(sh_ref[:, j : j + 1] * wexp_ref[:, irr * U : (irr + 1) * U])
+    vals = jnp.concatenate(cols, axis=1)  # [eb, d2*U]
+    sa, sb = _scatter_windows(o, vals, eb, vals.dtype)
+    first = _first_visit(win_ref)
+
+    @pl.when(first)
+    def _():
+        outA_ref[...] = jnp.zeros_like(outA_ref)
+        outB_ref[...] = jnp.zeros_like(outB_ref)
+
+    outA_ref[...] = outA_ref[...] + sa.astype(outA_ref.dtype)
+    outB_ref[...] = outB_ref[...] + sb.astype(outB_ref.dtype)
+
+
+def env_scatter_call(sh, wexp, offs_p, win, *, dim_to_irr, U, eb, n_rank_rows):
+    """sh [Ep, d2], wexp [Ep, n_irr*U] → (envA, envB) each [Na, d2*U]."""
+    Ep = sh.shape[0]
+    nb = Ep // eb
+    d2 = len(dim_to_irr)
+    n_irr = max(dim_to_irr) + 1
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((8, eb), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((eb, d2), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((eb, n_irr * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
+        ],
+    )
+    kern = functools.partial(_env_scatter_kernel, dim_to_irr=tuple(dim_to_irr), U=U, eb=eb)
+    shape = jax.ShapeDtypeStruct((n_rank_rows, d2 * U), sh.dtype)
+    return pl.pallas_call(
+        kern,
+        out_shape=[shape, shape],
+        grid_spec=grid_spec,
+        interpret=INTERPRET,
+    )(win, offs_p, sh, wexp)
+
+
+# ---------------------------------------------------------------------------
+# kernel D: gather + unweight (the two transposes of kernel A)
+#   dsh[e, j]          = Σ_u t[rank_e, jU+u] * wexp[e, irr(j)U+u]
+#   dwexp[e, irrU+u]   = Σ_{j: irr(j)=irr} t[rank_e, jU+u] * sh[e, j]
+# ---------------------------------------------------------------------------
+
+
+def _gather_unweight_sh_kernel(
+    win_ref, offs_ref, tA_ref, tB_ref, wexp_ref, out_ref, *, dim_to_irr, U, eb
+):
+    o = offs_ref[0, :]
+    t_e = _gather_windows(o, tA_ref[...], tB_ref[...], eb, wexp_ref.dtype)
+    d2 = len(dim_to_irr)
+    cols = []
+    for j in range(d2):
+        irr = dim_to_irr[j]
+        prod = t_e[:, j * U : (j + 1) * U].astype(wexp_ref.dtype) * wexp_ref[
+            :, irr * U : (irr + 1) * U
+        ]
+        cols.append(jnp.sum(prod, axis=1, keepdims=True))  # [eb, 1]
+    out_ref[...] = jnp.concatenate(cols, axis=1).astype(out_ref.dtype)
+
+
+def gather_unweight_sh_call(tA, tB, wexp, offs_p, win, *, dim_to_irr, U, eb):
+    """→ dsh [Ep, d2]."""
+    Ep = wexp.shape[0]
+    nb = Ep // eb
+    d2 = len(dim_to_irr)
+    n_irr = max(dim_to_irr) + 1
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((8, eb), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((eb, n_irr * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((eb, d2), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+    )
+    kern = functools.partial(
+        _gather_unweight_sh_kernel, dim_to_irr=tuple(dim_to_irr), U=U, eb=eb
+    )
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((Ep, d2), wexp.dtype),
+        grid_spec=grid_spec,
+        interpret=INTERPRET,
+    )(win, offs_p, tA, tB, wexp)
+
+
+def _gather_unweight_w_kernel(
+    win_ref, offs_ref, tA_ref, tB_ref, sh_ref, out_ref, *, dim_to_irr, U, eb
+):
+    o = offs_ref[0, :]
+    t_e = _gather_windows(o, tA_ref[...], tB_ref[...], eb, sh_ref.dtype)
+    n_irr = max(dim_to_irr) + 1
+    acc = [None] * n_irr
+    for j, irr in enumerate(dim_to_irr):
+        prod = t_e[:, j * U : (j + 1) * U].astype(sh_ref.dtype) * sh_ref[:, j : j + 1]
+        acc[irr] = prod if acc[irr] is None else acc[irr] + prod
+    out_ref[...] = jnp.concatenate(acc, axis=1).astype(out_ref.dtype)
+
+
+def gather_unweight_w_call(tA, tB, sh, offs_p, win, *, dim_to_irr, U, eb):
+    """→ dwexp [Ep, n_irr*U]."""
+    Ep = sh.shape[0]
+    nb = Ep // eb
+    d2 = len(dim_to_irr)
+    n_irr = max(dim_to_irr) + 1
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((8, eb), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((eb, d2), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((eb, n_irr * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+    )
+    kern = functools.partial(
+        _gather_unweight_w_kernel, dim_to_irr=tuple(dim_to_irr), U=U, eb=eb
+    )
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((Ep, n_irr * U), sh.dtype),
+        grid_spec=grid_spec,
+        interpret=INTERPRET,
+    )(win, offs_p, tA, tB, sh)
