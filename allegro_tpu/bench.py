@@ -1,44 +1,52 @@
-"""Benchmark: MD-step force inference throughput on the flagship model.
+"""Benchmark: the BASELINE.md metric set on the flagship model.
 
 (Repo-root shim lives in bench.py; this module is the implementation.)
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "us/atom/step", "vs_baseline": N}
+Prints ONE JSON line. Headline metric: µs/atom per MD force call
+(energy+forces) at float32 — the BASELINE.md north-star (< 1 µs/atom/step
+target on v5p-8; this runs on whatever single chip is available). The JSON
+also carries the other two BASELINE.md metrics:
 
-The headline metric is µs/atom per MD force call (energy+forces) at float32 —
-the BASELINE.md north-star metric (< 1 µs/atom/step target on v5p-8; this
-runs on whatever single chip is available).
+- ``train_samples_per_sec``: full jitted train step (Adam, energy+force loss,
+  second-order AD through the force) on aspirin-scale molecular frames,
+  mirroring the reference tutorial recipe (`configs/tutorial.yaml:8-64`).
+- ``force_mae_vs_f64``: end-to-end force parity of the on-chip f32 fused
+  path vs this repo's float64 einsum oracle evaluated on CPU in a clean
+  subprocess (the reference asserts 5e-5 f32 consistency,
+  ``tests/model/test_allegro.py:72-74``).
+
+Env knobs: BENCH_N_ATOMS, BENCH_BACKEND, BENCH_SKIP_EXTRA=1 (headline only),
+BENCH_REMAT=1 (per-layer remat — required near the single-chip memory
+ceiling).
 """
 
 import json
 import os
+import subprocess
 import sys
+import tempfile
 import time
 
 import numpy as np
 
+_FLAGSHIP = dict(
+    r_max=4.0,
+    type_names=["A", "B", "C"],
+    l_max=2,
+    parity=True,
+    num_layers=2,
+    num_scalar_features=64,
+    num_tensor_features=32,
+    per_type_energy_scales=1.0,
+    per_type_energy_shifts=0.0,
+)
 
-def run_benchmark_stage(config, workdir):
-    """CLI stage wrapper: `python -m allegro_tpu benchmark -c config.yaml`."""
-    bcfg = dict(config.get("benchmark", {}))
-    result = run_benchmark(
-        n_atoms=int(bcfg.get("n_atoms", 4096)),
-        r_max=float(bcfg.get("r_max", 4.0)),
-        backend=bcfg.get("tp_kernel_backend", "einsum_direct"),
-        verbose=True,
-    )
-    print(json.dumps(result))
-    return result
 
-
-def run_benchmark(n_atoms=4096, r_max=4.0, iters=20, warmup=3, verbose=False, backend=None):
-    import jax
-
-    from allegro_tpu.data import batch_frames, keys, to_jax
+def _crystal_frame(n_atoms, r_max, seed=0):
+    from allegro_tpu.data import keys
     from allegro_tpu.data.neighborlist import neighbor_list
-    from allegro_tpu.model import AllegroModel
 
-    rng = np.random.RandomState(0)
+    rng = np.random.RandomState(seed)
     side = int(round(n_atoms ** (1 / 3)))
     n_atoms = side**3
     spacing = 2.2
@@ -54,8 +62,41 @@ def run_benchmark(n_atoms=4096, r_max=4.0, iters=20, warmup=3, verbose=False, ba
         keys.CELL: np.eye(3) * (side * spacing),
         keys.PBC: np.ones(3, dtype=bool),
     }
+    return neighbor_list(frame, r_max), n_atoms
+
+
+def _flagship_model(avg_num_neighbors, backend, r_max=4.0, remat=False):
+    from allegro_tpu.model import AllegroModel
+
+    return AllegroModel(
+        **_FLAGSHIP,
+        avg_num_neighbors=avg_num_neighbors,
+        model_dtype="float32",
+        tp_kernel_backend=backend,
+        remat=remat,
+    )
+
+
+def run_benchmark_stage(config, workdir):
+    """CLI stage wrapper: `python -m allegro_tpu benchmark -c config.yaml`."""
+    bcfg = dict(config.get("benchmark", {}))
+    result = run_benchmark(
+        n_atoms=int(bcfg.get("n_atoms", 4096)),
+        r_max=float(bcfg.get("r_max", 4.0)),
+        backend=bcfg.get("tp_kernel_backend"),
+        verbose=True,
+    )
+    print(json.dumps(result))
+    return result
+
+
+def run_benchmark(n_atoms=4096, r_max=4.0, iters=20, warmup=3, verbose=False, backend=None):
+    import jax
+
+    from allegro_tpu.data import batch_frames, keys, to_jax
+
     t0 = time.time()
-    frame = neighbor_list(frame, r_max)
+    frame, n_atoms = _crystal_frame(n_atoms, r_max)
     n_edges = frame[keys.EDGE_INDEX].shape[1]
     if verbose:
         print(
@@ -68,26 +109,16 @@ def run_benchmark(n_atoms=4096, r_max=4.0, iters=20, warmup=3, verbose=False, ba
     if backend is None:
         backend = os.environ.get("BENCH_BACKEND")
     if backend is None:
-        # einsum_direct is fastest at small scale, but XLA materializes a
-        # [E,U,d1,d3] HBM temporary; the fused pallas kernels never do, which
-        # is what fits large single-chip systems (measured: 32k atoms is
-        # pallas-only on a 16GB chip). Beyond ~50k atoms/chip: slab domain
-        # decomposition (allegro_tpu.parallel), as pair_allegro scales by MPI.
-        backend = "einsum_direct" if n_atoms <= 20000 else "pallas"
-    model = AllegroModel(
-        r_max=r_max,
-        type_names=["A", "B", "C"],
-        l_max=2,
-        parity=True,
-        num_layers=2,
-        num_scalar_features=64,
-        num_tensor_features=32,
-        avg_num_neighbors=n_edges / n_atoms,
-        per_type_energy_scales=1.0,
-        per_type_energy_shifts=0.0,
-        model_dtype="float32",
-        tp_kernel_backend=backend,
-    )
+        # the fused kernels never materialize per-edge environment arrays in
+        # HBM — fastest measured AND what fits large single-chip systems
+        backend = "fused_infer"
+    remat = os.environ.get("BENCH_REMAT", "auto")
+    if remat == "auto":
+        # activation cotangents dominate beyond ~40k atoms on a 16 GB chip
+        remat_flag = n_atoms > 40000
+    else:
+        remat_flag = remat == "1"
+    model = _flagship_model(n_edges / n_atoms, backend, r_max, remat=remat_flag)
     params = model.init(0, batch)
 
     # NOTE timing methodology: each step's input depends on the previous
@@ -132,13 +163,175 @@ def run_benchmark(n_atoms=4096, r_max=4.0, iters=20, warmup=3, verbose=False, ba
             "num_layers": 2,
             "num_tensor_features": 32,
             "backend": backend,
+            "remat": bool(remat_flag),
             "step_ms": round(dt * 1e3, 3),
             "device": str(jax.devices()[0]),
         },
     }
 
 
+def run_train_bench(batch_size=16, steps=20, verbose=False):
+    """Train samples/sec: jitted Adam step with energy+force loss (the
+    second-order-AD path the reference trains with) on 21-atom frames."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from allegro_tpu.data import batch_frames, keys, to_jax
+    from allegro_tpu.data.datasets import synthetic_molecular_frames
+
+    frames = synthetic_molecular_frames(batch_size, n_atoms=21, spread=3.0)
+    from allegro_tpu.data.neighborlist import neighbor_list
+
+    frames = [neighbor_list(f, 4.0) for f in frames]
+    batch = to_jax(batch_frames(frames, n_frames=batch_size), dtype=np.float32)
+    n_edges = int(np.asarray(batch[keys.EDGE_MASK]).sum())
+    model = _flagship_model(
+        max(n_edges / (21 * batch_size), 1.0), backend="fused", r_max=4.0
+    )
+    params = model.init(0, batch)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    f_true = batch[keys.FORCES]
+    e_true = batch[keys.TOTAL_ENERGY].reshape(-1)
+
+    @jax.jit
+    def step(params, opt_state, _k):
+        def loss_fn(p):
+            out = model.apply_with_derivatives(params=p, data=batch)
+            fmask = batch[keys.NODE_MASK].astype(jnp.float32)[:, None]
+            floss = jnp.sum(fmask * (out[keys.FORCES] - f_true) ** 2) / jnp.sum(fmask) / 3
+            eloss = jnp.mean((out[keys.TOTAL_ENERGY].reshape(-1) - e_true) ** 2)
+            return floss + eloss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    t0 = time.time()
+    params, opt_state, loss = step(params, opt_state, 0)
+    _ = float(loss)
+    if verbose:
+        print(f"train compile+first step: {time.time() - t0:.1f}s", file=sys.stderr)
+    params, opt_state, loss = step(params, opt_state, 1)
+    _ = float(loss)
+    t0 = time.time()
+    for k in range(steps):
+        params, opt_state, loss = step(params, opt_state, k)
+    _ = float(loss)  # chain: each step depends on the previous params
+    dt = (time.time() - t0) / steps
+    return batch_size / dt
+
+
+def _save_pytree(path, tree):
+    import jax
+
+    leaves, _ = jax.tree_util.tree_flatten(tree)
+    np.savez(path, **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)})
+
+
+def _load_leaves_into(tree, path):
+    import jax
+
+    data = np.load(path)
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    new = [data[f"leaf_{i}"] for i in range(len(leaves))]
+    assert len(new) == len(leaves)
+    return jax.tree_util.tree_unflatten(treedef, new)
+
+
+def run_parity(n_atoms=512, verbose=False):
+    """Force MAE of the on-chip f32 fused path vs the f64 einsum oracle
+    (computed on CPU x64 in a clean subprocess; same params, same edges)."""
+    import jax
+
+    from allegro_tpu.data import batch_frames, keys, to_jax
+
+    frame, n_atoms = _crystal_frame(n_atoms, 4.0, seed=7)
+    n_edges = frame[keys.EDGE_INDEX].shape[1]
+    batch = to_jax(batch_frames([frame], n_frames=1), dtype=np.float32)
+    model = _flagship_model(n_edges / n_atoms, backend="fused_infer")
+    params = model.init(0, batch)
+    out = jax.jit(lambda p, b: model.apply_with_derivatives(p, b))(params, batch)
+    f32 = np.asarray(out[keys.FORCES], np.float64)[:n_atoms]
+
+    with tempfile.TemporaryDirectory() as td:
+        pfile = os.path.join(td, "params.npz")
+        ofile = os.path.join(td, "forces.npy")
+        _save_pytree(pfile, params)
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["JAX_ENABLE_X64"] = "true"
+        env["BENCH_ORACLE_N"] = str(n_atoms)
+        proc = subprocess.run(
+            [sys.executable, "-m", "allegro_tpu.bench", "--oracle", pfile, ofile],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=1200,
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"oracle subprocess failed rc={proc.returncode}:\n"
+                + proc.stdout[-1500:] + proc.stderr[-1500:]
+            )
+        f64 = np.load(ofile)[:n_atoms]
+    mae = float(np.abs(f32 - f64).mean())
+    frms = float(np.sqrt((f64**2).mean()))
+    return mae, mae / frms
+
+
+def _oracle_main(params_file, out_file):
+    """Subprocess body: f64 einsum forces on CPU with the saved params."""
+    import sys as _sys
+
+    _sys.path = [p for p in _sys.path if ".axon_site" not in p]
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    from allegro_tpu.data import batch_frames, keys, to_jax
+
+    n = int(os.environ.get("BENCH_ORACLE_N", "512"))
+    frame, n_atoms = _crystal_frame(n, 4.0, seed=7)
+    n_edges = frame[keys.EDGE_INDEX].shape[1]
+    batch = to_jax(batch_frames([frame], n_frames=1), dtype=np.float64)
+    from allegro_tpu.model import AllegroModel
+
+    model = AllegroModel(
+        **_FLAGSHIP,
+        avg_num_neighbors=n_edges / n_atoms,
+        model_dtype="float64",
+        tp_kernel_backend="einsum",
+    )
+    params = model.init(0, batch)
+    params = _load_leaves_into(params, params_file)
+    params = jax.tree.map(lambda x: np.asarray(x, np.float64), params)
+    out = model.apply_with_derivatives(params, batch)
+    np.save(out_file, np.asarray(out[keys.FORCES], np.float64))
+
+
 if __name__ == "__main__":
+    if "--oracle" in sys.argv:
+        i = sys.argv.index("--oracle")
+        _oracle_main(sys.argv[i + 1], sys.argv[i + 2])
+        sys.exit(0)
+    verbose = "-v" in sys.argv
     n = int(os.environ.get("BENCH_N_ATOMS", "4096"))
-    result = run_benchmark(n_atoms=n, verbose="-v" in sys.argv)
+    result = run_benchmark(n_atoms=n, verbose=verbose)
+    if os.environ.get("BENCH_SKIP_EXTRA", "0") != "1":
+        try:
+            result["extra"]["train_samples_per_sec"] = round(
+                run_train_bench(verbose=verbose), 2
+            )
+        except Exception as e:  # keep the headline metric even if a stage dies
+            result["extra"]["train_samples_per_sec_error"] = str(e)[:300]
+        try:
+            mae, rel = run_parity(verbose=verbose)
+            result["extra"]["force_mae_vs_f64"] = float(f"{mae:.3e}")
+            result["extra"]["force_mae_vs_f64_rel"] = float(f"{rel:.3e}")
+        except Exception as e:
+            result["extra"]["force_mae_error"] = str(e)[:300]
     print(json.dumps(result))

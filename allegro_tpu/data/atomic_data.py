@@ -79,7 +79,11 @@ def pad_data(
         if k in keys.PER_ATOM_FIELDS:
             out[k] = _pad_axis(v, n_atoms, axis=0)
         elif k == keys.EDGE_INDEX:
-            out[k] = _pad_axis(v, n_edges, axis=1)
+            # Sentinel padding: padded edges point at the (out-of-range) atom
+            # id ``n_atoms`` — segment-sums drop them, gathers clip them, and
+            # the fused kernels' rank construction keeps them after all real
+            # centers (center-sorted edges stay sorted through padding).
+            out[k] = _pad_axis(v, n_edges, axis=1, fill=n_atoms)
         elif k in keys.PER_EDGE_FIELDS:
             out[k] = _pad_axis(v, n_edges, axis=0)
         elif k in keys.PER_FRAME_FIELDS:

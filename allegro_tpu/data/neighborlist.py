@@ -132,6 +132,13 @@ def neighbor_list(
         r = np.linalg.norm(pos[j] - pos[i] + shifts @ c, axis=1)
         keep = r < per_edge_type_cutoff[types[i], types[j]]
         i, j, shifts = i[keep], j[keep], shifts[keep]
+    # Canonical center-sorted edge order (reference lexsorts for its kernel
+    # CSR metadata, allegro/nn/_strided/_lexsort.py): the fused Pallas kernels
+    # require non-decreasing centers (rank-space block windows), and the
+    # segment-sum paths benefit from sorted segment ids either way.
+    if len(i):
+        order = np.argsort(i, kind="stable")
+        i, j, shifts = i[order], j[order], shifts[order]
     out = dict(frame)
     out[keys.EDGE_INDEX] = np.stack([i, j], axis=0)
     out[keys.EDGE_CELL_SHIFT] = shifts

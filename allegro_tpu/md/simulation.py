@@ -162,7 +162,10 @@ class Simulation:
         bucket = self._edge_bucket
         order = np.argsort(i, kind="stable")
         i, j, shifts = i[order], j[order], shifts[order]
-        eidx = np.zeros((2, bucket), dtype=np.int32)
+        # sentinel padding (out-of-range atom id): dropped by segment-sums,
+        # clipped by gathers, and keeps center-sorted order through the pads
+        # (required by the fused kernel backend's rank-space block plan)
+        eidx = np.full((2, bucket), self.n_atoms, dtype=np.int32)
         eidx[0, :E], eidx[1, :E] = i, j
         sh = np.zeros((bucket, 3))
         sh[:E] = shifts

@@ -379,11 +379,19 @@ def enable_EinsumContracter(model: Model) -> Model:
     return _rebuild(model, tp_kernel_backend="einsum")
 
 
+@model_modifier
+def enable_FusedContracter(model: Model) -> Model:
+    """Swap the TP backend to the second-generation fused kernels (env
+    scatter/gather fused into the CG-TP — role of the reference's FlashAllegro
+    and cuEq in-kernel gather). Parameter pytree unchanged."""
+    return _rebuild(model, tp_kernel_backend="fused")
+
+
 # reference-config compatibility aliases (``--modifiers enable_TritonContracter``
-# / ``enable_CuEquivarianceContracter`` map onto the Pallas kernel backend —
+# / ``enable_CuEquivarianceContracter`` map onto the fused kernel backend —
 # it covers both roles: inference-only Triton and trainable cuEq)
-MODEL_MODIFIERS["enable_TritonContracter"] = enable_PallasContracter
-MODEL_MODIFIERS["enable_CuEquivarianceContracter"] = enable_PallasContracter
+MODEL_MODIFIERS["enable_TritonContracter"] = enable_FusedContracter
+MODEL_MODIFIERS["enable_CuEquivarianceContracter"] = enable_FusedContracter
 
 
 def modify(model: Model, modifiers) -> Model:

@@ -97,6 +97,10 @@ def _subset_dims(full: Irreps, subset: Irreps) -> List[int]:
 # "edge_major": one big scatter then a transpose. Measured per-hardware.
 PACKED_ENV_VARIANT = "edge_major"
 
+# edge-block size of the fused kernel backend (rank-space window width);
+# 128 measured fastest on v5e (the one-hot window matmuls cost O(eb)/edge)
+FUSED_BLOCK_EDGES = 128
+
 
 class AllegroLayers(nn.Module):
     """Consumes EDGE_EMBEDDING/EDGE_ATTRS/EDGE_FEATURES, writes EDGE_SCALARS."""
@@ -177,8 +181,31 @@ class AllegroLayers(nn.Module):
         E, U = features.shape[0], features.shape[1]
         if self._input_dims is not None:
             features = features[:, :, jnp.asarray(self._input_dims)]
+        fused = self.tp_kernel_backend in ("fused", "fused_infer")
         packed = self.tp_kernel_backend == "pallas"
-        if packed:
+        if fused:
+            # Fused kernel layout: tensor track is flat [Ep, d*U] (basis-dim-
+            # major column blocks of U lanes). Requires center-sorted edges
+            # with sentinel (>= n_atoms) padding — the data pipeline's
+            # canonical order (data/neighborlist.py, data/atomic_data.py).
+            from ..ops.fused_tp import make_block_plan, num_rank_rows
+
+            eb = FUSED_BLOCK_EDGES
+            Ep = -(-E // eb) * eb
+            if Ep != E:
+                features = jnp.pad(features, ((0, Ep - E), (0, 0), (0, 0)))
+                sh_p = jnp.pad(sh, ((0, Ep - E), (0, 0)))
+                centers_p = jnp.pad(
+                    centers, (0, Ep - E), constant_values=n_atoms
+                )
+            else:
+                sh_p, centers_p = sh, centers
+            d1 = features.shape[-1]
+            features = features.transpose(0, 2, 1).reshape(Ep, d1 * U)
+            win, offs = make_block_plan(centers_p, eb)
+            plan = (offs, win)
+            n_rank = num_rank_rows(n_atoms, eb)
+        elif packed:
             # Tensor track lives in packed dim-major layout between layers:
             # (E, U) pairs ride the 128-lane axis, every basis-dim slice is a
             # perfect VPU tile. Entry needs one transpose of the initial
@@ -210,11 +237,17 @@ class AllegroLayers(nn.Module):
             )
         else:
             body = AllegroLayers._layer_body
-        statics = (packed, E, U, Ep, n_atoms)
+        if fused:
+            mode, centers_arg, n_rank_static = "fused", plan, n_rank
+        elif packed:
+            mode, centers_arg, n_rank_static = "packed", centers_p, 0
+        else:
+            mode, centers_arg, n_rank_static = "plain", centers_p, 0
+        statics = (mode, E, U, Ep, n_atoms, n_rank_static)
         for layer in range(self.num_layers):
             features, lat = body(
                 self, (layer,) + statics, features, env_w, tuple(scalar_blocks),
-                sh_p, centers_p,
+                sh_p, centers_arg,
             )
             scalar_blocks.append(lat[:, :S])
             env_w = lat[:, S:]
@@ -223,8 +256,28 @@ class AllegroLayers(nn.Module):
         return out
 
     def _layer_body(self, statics, features, env_w, scalars_tuple, sh_p, centers_p):
-        layer, packed, E, U, Ep, n_atoms = statics
-        if packed:
+        layer, mode, E, U, Ep, n_atoms, n_rank = statics
+        packed = mode == "packed"
+        if mode == "fused":
+            offs, win = centers_p
+            n_irr = len(Irreps(self.irreps_sh))
+            wexp = env_w if env_w.shape[0] == Ep else jnp.pad(
+                env_w, ((0, Ep - E), (0, 0))
+            )
+            if self.weight_individual_irreps:
+                # env weights arrive u-major [E, U*n_irr] (the shared param
+                # convention of MakeWeightedChannels); the kernels slice
+                # per-irrep U-wide lane blocks, so flip to irr-major
+                wexp = wexp.reshape(Ep, U, n_irr).swapaxes(1, 2).reshape(
+                    Ep, n_irr * U
+                )
+            else:  # one weight per channel, shared across irreps
+                wexp = jnp.tile(wexp, (1, n_irr))
+            feats = self.tps[layer].fused_call(
+                features, sh_p, wexp, offs, win, n_rank, FUSED_BLOCK_EDGES
+            )
+            tp_scalars = feats[:, :U][:E]  # leading 0e per channel
+        elif packed:
             env_w_p = env_w if env_w.shape[0] == Ep else jnp.pad(
                 env_w, ((0, Ep - E), (0, 0))
             )

@@ -97,7 +97,10 @@ class Contracter(nn.Module):
     scatter_factor: Optional[float] = None  # e.g. 1/sqrt(avg_num_neighbors)
     irrep_normalization: str = "component"
     param_dtype: jnp.dtype = jnp.float32
-    # "einsum" (XLA loop-over-i) or "pallas" (fused sparse-CG kernel).
+    # "einsum" (XLA loop-over-i), "pallas" (fused sparse-CG kernel), or
+    # "fused" (second-generation kernels fusing env scatter/gather + CG —
+    # role of the reference's FlashAllegro/cuEq in-kernel gather,
+    # _flashallegro.py:24-282, _cueq_contracter.py:104-123).
     # Swapping backends keeps the parameter pytree identical (the reference
     # guarantees the same via state_dict transfer, _contract.py:277,305-306).
     kernel_backend: str = "einsum"
@@ -131,6 +134,15 @@ class Contracter(nn.Module):
             self._pallas = PallasTPBackend(self._w3j)
         else:
             self._pallas = None
+        if self.kernel_backend in ("fused", "fused_infer"):
+            from ..ops.pallas_contract import sparse_entries
+
+            self._fused_entries = sparse_entries(self._w3j)
+            self._dim_to_irr = tuple(
+                k
+                for k, sl in enumerate(irreps_in2.slices())
+                for _ in range(sl.stop - sl.start)
+            )
 
     @property
     def num_paths(self) -> int:
@@ -150,7 +162,7 @@ class Contracter(nn.Module):
         if self.scatter_factor is not None:
             x2 = x2 * jnp.asarray(self.scatter_factor, dtype=x2.dtype)
         x2_atoms = jax.ops.segment_sum(x2, centers, num_segments=n_atoms)
-        return jnp.take(x2_atoms, centers, axis=0).reshape(shape)
+        return jnp.take(x2_atoms, centers, axis=0, mode="clip").reshape(shape)
 
     def contract_reference(self, x1, x2):
         """Direct three-operand einsum — the correctness oracle the optimized
@@ -219,7 +231,7 @@ class Contracter(nn.Module):
         seg = jax.vmap(
             lambda x: jax.ops.segment_sum(x, centers, num_segments=n_atoms)
         )(x2_dm)
-        return jnp.take(seg, centers, axis=1)
+        return jnp.take(seg, centers, axis=1, mode="clip")
 
     def _pallas_weights(self, dtype):
         # primitive-based kernels only compute the cotangents that are
@@ -246,6 +258,37 @@ class Contracter(nn.Module):
         x2p = x2_env.reshape(d2, -1, self._pallas.LANES)
         w = self._pallas_weights(x1_packed.dtype)
         return self._pallas.contract_packed(x1_packed, x2p, w, U=mul)
+
+    def fused_call(self, x, sh, wexp, offs, win, n_rank_rows: int, eb: int):
+        """Fully-fused layer update (env-weight + scatter + gather + CG-TP).
+
+        x [Ep, d1*U] tensor features (flat dim-major columns); sh [Ep, d2]
+        basis; wexp [Ep, n_irr*U] env weights (irr-major). Requires
+        center-sorted edges with sentinel padding (block plan from
+        ``fused_tp.make_block_plan``). Returns [Ep, d_out*U].
+        """
+        from ..ops.fused_primitives import fused_layer, fused_layer_infer
+
+        P, d1, d2, d3 = self._w3j.shape
+        w = self.path_weights.astype(x.dtype)
+        if self.path_channel_coupling:
+            wk = w.T  # (mul, P) -> [P, U]
+        else:
+            wk = jnp.broadcast_to(w[:, None], (P, self.mul))
+        if self.scatter_factor is not None:
+            wexp = wexp * jnp.asarray(self.scatter_factor, dtype=wexp.dtype)
+        if self.kernel_backend == "fused_infer":
+            # one-pass fused backward; first-order AD only (MD/deploy scope)
+            return fused_layer_infer(
+                x, sh, wexp, wk, offs, win,
+                self._fused_entries, (d1, d2, d3), self.mul, eb,
+                self._dim_to_irr, n_rank_rows,
+            )
+        return fused_layer(
+            x, sh, wexp, wk, offs, win,
+            entries=self._fused_entries, dims=(d1, d2, d3), U=self.mul, eb=eb,
+            dim_to_irr=self._dim_to_irr, n_rank_rows=n_rank_rows,
+        )
 
     def __call__(self, x1, x2, centers, n_atoms: int):
         x2_env = self.env_sum(x2, centers, n_atoms)

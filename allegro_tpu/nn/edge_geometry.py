@@ -26,13 +26,15 @@ def with_edge_vectors(data: Dict, recompute: bool = False) -> Dict:
         return data
     pos = data[keys.POSITIONS]
     centers, neighbors = data[keys.EDGE_INDEX][0], data[keys.EDGE_INDEX][1]
-    vec = jnp.take(pos, neighbors, axis=0) - jnp.take(pos, centers, axis=0)
+    vec = jnp.take(pos, neighbors, axis=0, mode="clip") - jnp.take(
+        pos, centers, axis=0, mode="clip"
+    )
     if keys.CELL in data and keys.EDGE_CELL_SHIFT in data:
         cell = data[keys.CELL]
         if cell.ndim == 2:
             cell = cell[None]
         if keys.BATCH in data:
-            edge_frame = jnp.take(data[keys.BATCH], centers, axis=0)
+            edge_frame = jnp.take(data[keys.BATCH], centers, axis=0, mode="clip")
         else:
             edge_frame = jnp.zeros_like(centers)
         edge_cell = jnp.take(cell, edge_frame, axis=0)  # [E, 3, 3]
@@ -77,7 +79,9 @@ class EdgeLengthNormalizer:
         out = dict(data)
         centers, neighbors = data[keys.EDGE_INDEX][0], data[keys.EDGE_INDEX][1]
         types = data[keys.ATOM_TYPES]
-        edge_type = jnp.take(types, centers) * self.num_types + jnp.take(types, neighbors)
+        edge_type = jnp.take(types, centers, mode="clip") * self.num_types + jnp.take(
+            types, neighbors, mode="clip"
+        )
         out[keys.EDGE_TYPE] = edge_type.astype(jnp.int32)
         r = data[keys.EDGE_LENGTH]
         if self._flat_cutoffs is not None:

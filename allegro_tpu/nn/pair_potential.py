@@ -49,8 +49,8 @@ class ZBLPairPotential:
         centers, neighbors = data[keys.EDGE_INDEX][0], data[keys.EDGE_INDEX][1]
         types = data[keys.ATOM_TYPES]
         Z = jnp.asarray(self.type_to_Z, dtype=r.dtype)
-        Zi = jnp.take(Z, jnp.take(types, centers))
-        Zj = jnp.take(Z, jnp.take(types, neighbors))
+        Zi = jnp.take(Z, jnp.take(types, centers, mode="clip"))
+        Zj = jnp.take(Z, jnp.take(types, neighbors, mode="clip"))
         a = 0.46850 / (Zi**0.23 + Zj**0.23)
         r_safe = jnp.maximum(r, 1e-6)
         x = r_safe / a

@@ -82,7 +82,7 @@ class TwoBodyBesselScalarEmbed(nn.Module):
         emb = ProductTypeEmbedding(
             num_types=self.num_types, dim=self.output_dim, param_dtype=dtype,
             name="product_type_embed",
-        )(radial, jnp.take(types, centers), jnp.take(types, neighbors))
+        )(radial, jnp.take(types, centers, mode="clip"), jnp.take(types, neighbors, mode="clip"))
         out = dict(data)
         mask = _edge_mask(data, emb)
         out[keys.EDGE_CUTOFF] = cutoff * mask

@@ -1,0 +1,557 @@
+"""The fused env+CG-TP kernel family as true JAX primitives — the trainable
+second-generation backend.
+
+Role: the reference accelerates its Contracter with Triton (inference,
+``allegro/nn/_strided/_flashallegro.py``) and cuEquivariance (training +
+inference, ``_cueq_contracter.py`` — whose kernel fuses the atoms→edges gather
+in-CUDA, ``:104-123``). This module is the TPU equivalent with the WHOLE
+per-layer dataflow fused (see ``fused_tp`` for the kernels):
+
+    env_scatter(sh, wexp)        -> env   [Nr, d2*U]   (edges→rank-rows)
+    gather_tp(x, env, w)         -> out   [Ep, d3*U]   (rank-rows→edges + CG)
+
+``jax.custom_vjp`` forbids reverse-over-reverse, but force training needs
+second-order AD. Every function here is multilinear, so the family CLOSES
+under differentiation — each JVP term and each transpose is again one of the
+six kernels with permuted roles:
+
+    primitive            transpose wrt operand        result primitive
+    env_scatter(sh,wexp)  sh                           unweight_sh(t, wexp)
+                          wexp                         unweight_w(t, sh)
+    gather_tp(x,env,w)    x                            gather_tp(g, env, w)ᵀ
+                          env                          tp_scatter(x, g, w)
+                          w                            gather_dw(x, env, g)
+    tp_scatter(x,g,w)     x                            gather_tp(g, t, w)ᵀ
+                          g                            gather_tp(x, t, w)
+                          w                            gather_dw(x, t, g)
+    gather_dw(x,env,g)    x                            gather_tp(g, env, v)ᵀ
+                          env                          tp_scatter(x, g, v)
+                          g                            gather_tp(x, env, v)
+    unweight_sh(t,wexp)   t                            env_scatter(s, wexp)
+                          wexp                         unweight_w(t, s)
+    unweight_w(t,sh)      t                            env_scatter(sh, v)
+                          sh                           unweight_sh(t, v)
+
+(ᵀ = entries role-swapped (i,j,k)→(k,j,i), dims reversed.)
+
+All primitives take the block plan (``offs`` [NB*8, eb] int32, ``win`` [NB]
+int32 — see ``fused_tp.make_block_plan``) as trailing integer operands with
+zero tangents.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import core
+from jax.interpreters import ad, batching, mlir
+
+from . import fused_tp
+
+try:  # jax>=0.5 moved Primitive
+    Primitive = core.Primitive
+except AttributeError:  # pragma: no cover
+    from jax.extend.core import Primitive  # type: ignore
+
+
+def _swap_entries(entries):
+    """(i,j,k,p,c) -> (k,j,i,p,c): output role moves to the first input."""
+    return tuple((k, j, i, p, c) for (i, j, k, p, c) in entries)
+
+
+def _rev(dims):
+    return (dims[2], dims[1], dims[0])
+
+
+def _sum_tangents(out, parts):
+    if not parts:
+        return ad.Zero(core.get_aval(out).to_tangent_aval())
+    t = parts[0]
+    for p in parts[1:]:
+        t = t + p
+    return t
+
+
+def _zero_or_none(x):
+    return ad.Zero(x.aval) if ad.is_undefined_primal(x) else None
+
+
+# ---------------------------------------------------------------------------
+# env_scatter: env[r, jU+u] = Σ_{e: rank_e=r} sh[e,j] wexp[e, irr(j)U+u]
+# ---------------------------------------------------------------------------
+
+env_scatter_p = Primitive("allegro_fused_env_scatter")
+
+
+def env_scatter(sh, wexp, offs, win, *, dim_to_irr, U, eb, n_rank_rows):
+    return env_scatter_p.bind(
+        sh, wexp, offs, win, dim_to_irr=tuple(dim_to_irr), U=U, eb=eb,
+        n_rank_rows=n_rank_rows,
+    )
+
+
+@env_scatter_p.def_abstract_eval
+def _env_scatter_abs(sh, wexp, offs, win, *, dim_to_irr, U, eb, n_rank_rows):
+    return core.ShapedArray((n_rank_rows, len(dim_to_irr) * U), sh.dtype)
+
+
+def _env_scatter_impl(sh, wexp, offs, win, *, dim_to_irr, U, eb, n_rank_rows):
+    eA, eB = fused_tp.env_scatter_call(
+        sh, wexp, offs, win, dim_to_irr=dim_to_irr, U=U, eb=eb, n_rank_rows=n_rank_rows
+    )
+    return fused_tp.combine_scatter_outputs(eA, eB, win, eb)
+
+
+env_scatter_p.def_impl(lambda *a, **k: _env_scatter_impl(*a, **k))
+mlir.register_lowering(env_scatter_p, mlir.lower_fun(_env_scatter_impl, multiple_results=False))
+
+
+def _env_scatter_jvp(primals, tangents, **kw):
+    sh, wexp, offs, win = primals
+    dsh, dwexp, _, _ = tangents
+    out = env_scatter(sh, wexp, offs, win, **kw)
+    parts = []
+    if type(dsh) is not ad.Zero:
+        parts.append(env_scatter(dsh, wexp, offs, win, **kw))
+    if type(dwexp) is not ad.Zero:
+        parts.append(env_scatter(sh, dwexp, offs, win, **kw))
+    return out, _sum_tangents(out, parts)
+
+
+ad.primitive_jvps[env_scatter_p] = _env_scatter_jvp
+
+
+def _env_scatter_transpose(ct, sh, wexp, offs, win, *, dim_to_irr, U, eb, n_rank_rows):
+    assert not (ad.is_undefined_primal(offs) or ad.is_undefined_primal(win))
+    if type(ct) is ad.Zero:
+        return (_zero_or_none(sh), _zero_or_none(wexp), None, None)
+    kw = dict(dim_to_irr=dim_to_irr, U=U, eb=eb)
+    if ad.is_undefined_primal(sh):
+        return (unweight_sh(ct, wexp, offs, win, **kw), None, None, None)
+    assert ad.is_undefined_primal(wexp)
+    return (None, unweight_w(ct, sh, offs, win, **kw), None, None)
+
+
+ad.primitive_transposes[env_scatter_p] = _env_scatter_transpose
+
+
+# ---------------------------------------------------------------------------
+# gather_tp: out[e, kU+u] = Σ c w[p,u] x[e, iU+u] env[rank_e, jU+u]
+# ---------------------------------------------------------------------------
+
+gather_tp_p = Primitive("allegro_fused_gather_tp")
+
+
+def gather_tp(x, env, w, offs, win, *, entries, dims, U, eb):
+    return gather_tp_p.bind(
+        x, env, w, offs, win, entries=tuple(entries), dims=tuple(dims), U=U, eb=eb
+    )
+
+
+@gather_tp_p.def_abstract_eval
+def _gather_tp_abs(x, env, w, offs, win, *, entries, dims, U, eb):
+    return core.ShapedArray((x.shape[0], dims[2] * U), x.dtype)
+
+
+def _gather_tp_impl(x, env, w, offs, win, *, entries, dims, U, eb):
+    return fused_tp.gather_tp_call(
+        x, env, env, w, offs, win, entries=entries, dims=dims, U=U, eb=eb
+    )
+
+
+gather_tp_p.def_impl(lambda *a, **k: _gather_tp_impl(*a, **k))
+mlir.register_lowering(gather_tp_p, mlir.lower_fun(_gather_tp_impl, multiple_results=False))
+
+
+def _gather_tp_jvp(primals, tangents, **kw):
+    x, env, w, offs, win = primals
+    dx, denv, dw, _, _ = tangents
+    out = gather_tp(x, env, w, offs, win, **kw)
+    parts = []
+    if type(dx) is not ad.Zero:
+        parts.append(gather_tp(dx, env, w, offs, win, **kw))
+    if type(denv) is not ad.Zero:
+        parts.append(gather_tp(x, denv, w, offs, win, **kw))
+    if type(dw) is not ad.Zero:
+        parts.append(gather_tp(x, env, dw, offs, win, **kw))
+    return out, _sum_tangents(out, parts)
+
+
+ad.primitive_jvps[gather_tp_p] = _gather_tp_jvp
+
+
+def _gather_tp_transpose(ct, x, env, w, offs, win, *, entries, dims, U, eb):
+    if type(ct) is ad.Zero:
+        return (_zero_or_none(x), _zero_or_none(env), _zero_or_none(w), None, None)
+    if ad.is_undefined_primal(x):
+        gx = gather_tp(
+            ct, env, w, offs, win, entries=_swap_entries(entries), dims=_rev(dims),
+            U=U, eb=eb,
+        )
+        return (gx, None, None, None, None)
+    if ad.is_undefined_primal(env):
+        genv = tp_scatter(
+            x, ct, w, offs, win, entries=entries, dims=dims, U=U, eb=eb,
+            n_rank_rows=env.aval.shape[0],
+        )
+        return (None, genv, None, None, None)
+    assert ad.is_undefined_primal(w)
+    gw = gather_dw(x, env, ct, offs, win, entries=entries, dims=dims, U=U, eb=eb)
+    return (None, None, gw, None, None)
+
+
+ad.primitive_transposes[gather_tp_p] = _gather_tp_transpose
+
+
+# ---------------------------------------------------------------------------
+# tp_scatter: denv[r, jU+u] = Σ_{e: rank_e=r} Σ c w[p,u] x[e,iU+u] g[e,kU+u]
+# ---------------------------------------------------------------------------
+
+tp_scatter_p = Primitive("allegro_fused_tp_scatter")
+
+
+def tp_scatter(x, g, w, offs, win, *, entries, dims, U, eb, n_rank_rows):
+    return tp_scatter_p.bind(
+        x, g, w, offs, win, entries=tuple(entries), dims=tuple(dims), U=U, eb=eb,
+        n_rank_rows=n_rank_rows,
+    )
+
+
+@tp_scatter_p.def_abstract_eval
+def _tp_scatter_abs(x, g, w, offs, win, *, entries, dims, U, eb, n_rank_rows):
+    return core.ShapedArray((n_rank_rows, dims[1] * U), x.dtype)
+
+
+def _tp_scatter_impl(x, g, w, offs, win, *, entries, dims, U, eb, n_rank_rows):
+    dA, dB = fused_tp.tp_scatter_call(
+        x, g, w, offs, win, entries=entries, dims=dims, U=U, eb=eb,
+        n_rank_rows=n_rank_rows,
+    )
+    return fused_tp.combine_scatter_outputs(dA, dB, win, eb)
+
+
+tp_scatter_p.def_impl(lambda *a, **k: _tp_scatter_impl(*a, **k))
+mlir.register_lowering(tp_scatter_p, mlir.lower_fun(_tp_scatter_impl, multiple_results=False))
+
+
+def _tp_scatter_jvp(primals, tangents, **kw):
+    x, g, w, offs, win = primals
+    dx, dg, dw, _, _ = tangents
+    out = tp_scatter(x, g, w, offs, win, **kw)
+    parts = []
+    if type(dx) is not ad.Zero:
+        parts.append(tp_scatter(dx, g, w, offs, win, **kw))
+    if type(dg) is not ad.Zero:
+        parts.append(tp_scatter(x, dg, w, offs, win, **kw))
+    if type(dw) is not ad.Zero:
+        parts.append(tp_scatter(x, g, dw, offs, win, **kw))
+    return out, _sum_tangents(out, parts)
+
+
+ad.primitive_jvps[tp_scatter_p] = _tp_scatter_jvp
+
+
+def _tp_scatter_transpose(ct, x, g, w, offs, win, *, entries, dims, U, eb, n_rank_rows):
+    if type(ct) is ad.Zero:
+        return (_zero_or_none(x), _zero_or_none(g), _zero_or_none(w), None, None)
+    kw = dict(U=U, eb=eb)
+    if ad.is_undefined_primal(x):
+        gx = gather_tp(
+            g, ct, w, offs, win, entries=_swap_entries(entries), dims=_rev(dims), **kw
+        )
+        return (gx, None, None, None, None)
+    if ad.is_undefined_primal(g):
+        gg = gather_tp(x, ct, w, offs, win, entries=entries, dims=dims, **kw)
+        return (None, gg, None, None, None)
+    assert ad.is_undefined_primal(w)
+    gw = gather_dw(x, ct, g, offs, win, entries=entries, dims=dims, **kw)
+    return (None, None, gw, None, None)
+
+
+ad.primitive_transposes[tp_scatter_p] = _tp_scatter_transpose
+
+
+# ---------------------------------------------------------------------------
+# gather_dw: dw[p, u] = Σ_e Σ_{(i,j,k)∈p} c x[e,iU+u] env[rank_e,jU+u] g[e,kU+u]
+# ---------------------------------------------------------------------------
+
+gather_dw_p = Primitive("allegro_fused_gather_dw")
+
+
+def gather_dw(x, env, g, offs, win, *, entries, dims, U, eb):
+    return gather_dw_p.bind(
+        x, env, g, offs, win, entries=tuple(entries), dims=tuple(dims), U=U, eb=eb
+    )
+
+
+@gather_dw_p.def_abstract_eval
+def _gather_dw_abs(x, env, g, offs, win, *, entries, dims, U, eb):
+    n_paths = 1 + max(e[3] for e in entries)
+    return core.ShapedArray((n_paths, U), x.dtype)
+
+
+def _gather_dw_impl(x, env, g, offs, win, *, entries, dims, U, eb):
+    return fused_tp.gather_dw_call(
+        x, env, env, g, offs, win, entries=entries, dims=dims, U=U, eb=eb
+    )
+
+
+gather_dw_p.def_impl(lambda *a, **k: _gather_dw_impl(*a, **k))
+mlir.register_lowering(gather_dw_p, mlir.lower_fun(_gather_dw_impl, multiple_results=False))
+
+
+def _gather_dw_jvp(primals, tangents, **kw):
+    x, env, g, offs, win = primals
+    dx, denv, dg, _, _ = tangents
+    out = gather_dw(x, env, g, offs, win, **kw)
+    parts = []
+    if type(dx) is not ad.Zero:
+        parts.append(gather_dw(dx, env, g, offs, win, **kw))
+    if type(denv) is not ad.Zero:
+        parts.append(gather_dw(x, denv, g, offs, win, **kw))
+    if type(dg) is not ad.Zero:
+        parts.append(gather_dw(x, env, dg, offs, win, **kw))
+    return out, _sum_tangents(out, parts)
+
+
+ad.primitive_jvps[gather_dw_p] = _gather_dw_jvp
+
+
+def _gather_dw_transpose(ct, x, env, g, offs, win, *, entries, dims, U, eb):
+    if type(ct) is ad.Zero:
+        return (_zero_or_none(x), _zero_or_none(env), _zero_or_none(g), None, None)
+    kw = dict(U=U, eb=eb)
+    if ad.is_undefined_primal(x):
+        gx = gather_tp(
+            g, env, ct, offs, win, entries=_swap_entries(entries), dims=_rev(dims), **kw
+        )
+        return (gx, None, None, None, None)
+    if ad.is_undefined_primal(env):
+        genv = tp_scatter(
+            x, g, ct, offs, win, entries=entries, dims=dims,
+            n_rank_rows=env.aval.shape[0], **kw,
+        )
+        return (None, genv, None, None, None)
+    assert ad.is_undefined_primal(g)
+    gg = gather_tp(x, env, ct, offs, win, entries=entries, dims=dims, **kw)
+    return (None, None, gg, None, None)
+
+
+ad.primitive_transposes[gather_dw_p] = _gather_dw_transpose
+
+
+# ---------------------------------------------------------------------------
+# unweight_sh: dsh[e, j] = Σ_u t[rank_e, jU+u] wexp[e, irr(j)U+u]
+# ---------------------------------------------------------------------------
+
+unweight_sh_p = Primitive("allegro_fused_unweight_sh")
+
+
+def unweight_sh(t, wexp, offs, win, *, dim_to_irr, U, eb):
+    return unweight_sh_p.bind(
+        t, wexp, offs, win, dim_to_irr=tuple(dim_to_irr), U=U, eb=eb
+    )
+
+
+@unweight_sh_p.def_abstract_eval
+def _unweight_sh_abs(t, wexp, offs, win, *, dim_to_irr, U, eb):
+    return core.ShapedArray((wexp.shape[0], len(dim_to_irr)), t.dtype)
+
+
+def _unweight_sh_impl(t, wexp, offs, win, *, dim_to_irr, U, eb):
+    return fused_tp.gather_unweight_sh_call(
+        t, t, wexp, offs, win, dim_to_irr=dim_to_irr, U=U, eb=eb
+    )
+
+
+unweight_sh_p.def_impl(lambda *a, **k: _unweight_sh_impl(*a, **k))
+mlir.register_lowering(unweight_sh_p, mlir.lower_fun(_unweight_sh_impl, multiple_results=False))
+
+
+def _unweight_sh_jvp(primals, tangents, **kw):
+    t, wexp, offs, win = primals
+    dt, dwexp, _, _ = tangents
+    out = unweight_sh(t, wexp, offs, win, **kw)
+    parts = []
+    if type(dt) is not ad.Zero:
+        parts.append(unweight_sh(dt, wexp, offs, win, **kw))
+    if type(dwexp) is not ad.Zero:
+        parts.append(unweight_sh(t, dwexp, offs, win, **kw))
+    return out, _sum_tangents(out, parts)
+
+
+ad.primitive_jvps[unweight_sh_p] = _unweight_sh_jvp
+
+
+def _unweight_sh_transpose(ct, t, wexp, offs, win, *, dim_to_irr, U, eb):
+    if type(ct) is ad.Zero:
+        return (_zero_or_none(t), _zero_or_none(wexp), None, None)
+    kw = dict(dim_to_irr=dim_to_irr, U=U, eb=eb)
+    if ad.is_undefined_primal(t):
+        gt = env_scatter(ct, wexp, offs, win, n_rank_rows=t.aval.shape[0], **kw)
+        return (gt, None, None, None)
+    assert ad.is_undefined_primal(wexp)
+    gw = unweight_w(t, ct, offs, win, **kw)
+    return (None, gw, None, None)
+
+
+ad.primitive_transposes[unweight_sh_p] = _unweight_sh_transpose
+
+
+# ---------------------------------------------------------------------------
+# unweight_w: dwexp[e, irrU+u] = Σ_{j: irr(j)=irr} t[rank_e, jU+u] sh[e, j]
+# ---------------------------------------------------------------------------
+
+unweight_w_p = Primitive("allegro_fused_unweight_w")
+
+
+def unweight_w(t, sh, offs, win, *, dim_to_irr, U, eb):
+    return unweight_w_p.bind(t, sh, offs, win, dim_to_irr=tuple(dim_to_irr), U=U, eb=eb)
+
+
+@unweight_w_p.def_abstract_eval
+def _unweight_w_abs(t, sh, offs, win, *, dim_to_irr, U, eb):
+    n_irr = max(dim_to_irr) + 1
+    return core.ShapedArray((sh.shape[0], n_irr * U), t.dtype)
+
+
+def _unweight_w_impl(t, sh, offs, win, *, dim_to_irr, U, eb):
+    return fused_tp.gather_unweight_w_call(
+        t, t, sh, offs, win, dim_to_irr=dim_to_irr, U=U, eb=eb
+    )
+
+
+unweight_w_p.def_impl(lambda *a, **k: _unweight_w_impl(*a, **k))
+mlir.register_lowering(unweight_w_p, mlir.lower_fun(_unweight_w_impl, multiple_results=False))
+
+
+def _unweight_w_jvp(primals, tangents, **kw):
+    t, sh, offs, win = primals
+    dt, dsh, _, _ = tangents
+    out = unweight_w(t, sh, offs, win, **kw)
+    parts = []
+    if type(dt) is not ad.Zero:
+        parts.append(unweight_w(dt, sh, offs, win, **kw))
+    if type(dsh) is not ad.Zero:
+        parts.append(unweight_w(t, dsh, offs, win, **kw))
+    return out, _sum_tangents(out, parts)
+
+
+ad.primitive_jvps[unweight_w_p] = _unweight_w_jvp
+
+
+def _unweight_w_transpose(ct, t, sh, offs, win, *, dim_to_irr, U, eb):
+    if type(ct) is ad.Zero:
+        return (_zero_or_none(t), _zero_or_none(sh), None, None)
+    kw = dict(dim_to_irr=dim_to_irr, U=U, eb=eb)
+    if ad.is_undefined_primal(t):
+        gt = env_scatter(sh, ct, offs, win, n_rank_rows=t.aval.shape[0], **kw)
+        return (gt, None, None, None)
+    assert ad.is_undefined_primal(sh)
+    gs = unweight_sh(t, ct, offs, win, **kw)
+    return (None, gs, None, None)
+
+
+ad.primitive_transposes[unweight_w_p] = _unweight_w_transpose
+
+
+# ---------------------------------------------------------------------------
+# batching: lax.map fallback (the model path never vmaps these; tests may)
+# ---------------------------------------------------------------------------
+
+
+def _map_batcher(bind_fn, n_primal):
+    def batcher(args, bdims, **kw):
+        B = next(x.shape[d] for x, d in zip(args, bdims) if d is not None)
+        moved = []
+        for x, d in zip(args, bdims):
+            if d is None:
+                moved.append(jnp.broadcast_to(x, (B,) + x.shape))
+            else:
+                moved.append(jnp.moveaxis(x, d, 0))
+
+        def one(xs):
+            return bind_fn(*xs, **kw)
+
+        return jax.lax.map(one, tuple(moved)), 0
+
+    return batcher
+
+
+batching.primitive_batchers[env_scatter_p] = _map_batcher(env_scatter, 2)
+batching.primitive_batchers[gather_tp_p] = _map_batcher(gather_tp, 3)
+batching.primitive_batchers[tp_scatter_p] = _map_batcher(tp_scatter, 3)
+batching.primitive_batchers[gather_dw_p] = _map_batcher(gather_dw, 3)
+batching.primitive_batchers[unweight_sh_p] = _map_batcher(unweight_sh, 2)
+batching.primitive_batchers[unweight_w_p] = _map_batcher(unweight_w, 2)
+
+
+# ---------------------------------------------------------------------------
+# the layer-level entry point
+# ---------------------------------------------------------------------------
+
+
+def fused_layer(x, sh, wexp, w, offs, win, *, entries, dims, U, eb, dim_to_irr,
+                n_rank_rows):
+    """One Allegro layer's tensor-track update, fully fused.
+
+    x [Ep, d1*U] tensor features; sh [Ep, d2] basis; wexp [Ep, n_irr*U]
+    env weights (irr-major, scatter_factor pre-applied); w [P, U] path
+    weights. Returns [Ep, d3*U].
+    """
+    env = env_scatter(
+        sh, wexp, offs, win, dim_to_irr=dim_to_irr, U=U, eb=eb, n_rank_rows=n_rank_rows
+    )
+    return gather_tp(x, env, w, offs, win, entries=entries, dims=dims, U=U, eb=eb)
+
+
+# ---------------------------------------------------------------------------
+# inference fast path: fused one-pass backward (custom_vjp, first-order only)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+def fused_layer_infer(x, sh, wexp, w, offs, win, entries, dims, U, eb, dim_to_irr,
+                      n_rank_rows):
+    """Same math as ``fused_layer`` but with a ONE-PASS fused backward:
+    (dx, denv, dw) from one kernel sharing the g/x loads and env gather, then
+    (dsh, dwexp) from one kernel sharing the denv gather — the HBM-bound
+    chip's analogue of FlashAllegro's shared-kernel backward
+    (``_flashallegro.py:583-639``). First-order AD only (the role of the
+    reference's inference-scoped Triton backend); training uses the primitive
+    path (``fused_layer``), which supports arbitrary-order AD."""
+    env = env_scatter(
+        sh, wexp, offs, win, dim_to_irr=dim_to_irr, U=U, eb=eb, n_rank_rows=n_rank_rows
+    )
+    return gather_tp(x, env, w, offs, win, entries=entries, dims=dims, U=U, eb=eb)
+
+
+def _fli_fwd(x, sh, wexp, w, offs, win, entries, dims, U, eb, dim_to_irr, n_rank_rows):
+    env = env_scatter(
+        sh, wexp, offs, win, dim_to_irr=dim_to_irr, U=U, eb=eb, n_rank_rows=n_rank_rows
+    )
+    out = gather_tp(x, env, w, offs, win, entries=entries, dims=dims, U=U, eb=eb)
+    return out, (x, sh, wexp, w, env, offs, win)
+
+
+def _fli_bwd(entries, dims, U, eb, dim_to_irr, n_rank_rows, res, g):
+    import numpy as np
+
+    x, sh, wexp, w, env, offs, win = res
+    dx, dA, dB, dw = fused_tp.bwd_fused_call(
+        x, g, env, env, w, offs, win, entries=entries, dims=dims, U=U, eb=eb,
+        n_rank_rows=n_rank_rows,
+    )
+    denv = fused_tp.combine_scatter_outputs(dA, dB, win, eb)
+    dsh, dwexp = fused_tp.unweight_both_call(
+        denv, denv, sh, wexp, offs, win, dim_to_irr=dim_to_irr, U=U, eb=eb
+    )
+    zoffs = np.zeros(offs.shape, jax.dtypes.float0)
+    zwin = np.zeros(win.shape, jax.dtypes.float0)
+    return (dx, dsh, dwexp, dw, zoffs, zwin)
+
+
+fused_layer_infer.defvjp(_fli_fwd, _fli_bwd)

@@ -132,7 +132,7 @@ def _gather_windows(o, envA, envB, eb: int, dtype):
     ga = (ii == oc).astype(dtype)
     gb = (ii == (oc - eb)).astype(dtype)
     dn = (((1,), (0,)), ((), ()))
-    acc = jnp.float32
+    acc = jnp.promote_types(dtype, jnp.float32)
     return jax.lax.dot_general(
         ga, envA, dn, precision=_HIGHEST, preferred_element_type=acc
     ) + jax.lax.dot_general(gb, envB, dn, precision=_HIGHEST, preferred_element_type=acc)
@@ -151,11 +151,12 @@ def _scatter_windows(o, vals, eb: int, dtype):
     gat = (ii == orow).astype(dtype)
     gbt = (ii == (orow - eb)).astype(dtype)
     dn = (((1,), (0,)), ((), ()))
+    acc = jnp.promote_types(dtype, jnp.float32)
     sa = jax.lax.dot_general(
-        gat, vals, dn, precision=_HIGHEST, preferred_element_type=jnp.float32
+        gat, vals, dn, precision=_HIGHEST, preferred_element_type=acc
     )
     sb = jax.lax.dot_general(
-        gbt, vals, dn, precision=_HIGHEST, preferred_element_type=jnp.float32
+        gbt, vals, dn, precision=_HIGHEST, preferred_element_type=acc
     )
     return sa, sb
 
@@ -480,6 +481,177 @@ def gather_unweight_sh_call(tA, tB, wexp, offs_p, win, *, dim_to_irr, U, eb):
         grid_spec=grid_spec,
         interpret=INTERPRET,
     )(win, offs_p, tA, tB, wexp)
+
+
+def _bwd_fused_kernel(
+    win_ref, offs_ref, x_ref, g_ref, envA_ref, envB_ref, w_ref,
+    dx_ref, dA_ref, dB_ref, dw_ref, *, entries, dims, U, eb, n_paths
+):
+    """One-pass backward: dx, denv (two windows), dw — sharing the g/x loads
+    and the env window gather that three separate kernels would each redo
+    (the reference's backward reuses one kernel with permuted index sets,
+    ``_flashallegro.py:583-639``; here sharing loads is the bigger win because
+    the chip is HBM-bound)."""
+    d1, d2, d3 = dims
+    o = offs_ref[0, :]
+    env_e = _gather_windows(o, envA_ref[...], envB_ref[...], eb, x_ref.dtype)
+    dtype = x_ref.dtype
+
+    # dx[i] = Σ c w[p] g_k env_j  — cache g_k * env_j per (k, j) pair
+    dx_acc = [None] * d1
+    cur = (-1, -1)
+    t = None
+    for k, j, i, p, c in sorted((k, j, i, p, c) for (i, j, k, p, c) in entries):
+        if (k, j) != cur:
+            t = g_ref[:, k * U : (k + 1) * U] * env_e[:, j * U : (j + 1) * U].astype(dtype)
+            cur = (k, j)
+        contrib = t * (c * w_ref[p, :][None, :].astype(dtype))
+        dx_acc[i] = contrib if dx_acc[i] is None else dx_acc[i] + contrib
+    for i in range(d1):
+        blk = dx_ref[:, i * U : (i + 1) * U]
+        dx_ref[:, i * U : (i + 1) * U] = (
+            jnp.zeros_like(blk) if dx_acc[i] is None else dx_acc[i].astype(blk.dtype)
+        )
+
+    # denv[j] = Σ c w[p] x_i g_k ;  dw[p] = Σ_e c x_i env_j g_k
+    # — cache x_i * g_k per (i, k) pair, reuse it for both
+    denv_acc = [None] * d2
+    dw_acc = [None] * n_paths
+    cur = (-1, -1)
+    t = None
+    for i, k, j, p, c in sorted((i, k, j, p, c) for (i, j, k, p, c) in entries):
+        if (i, k) != cur:
+            t = x_ref[:, i * U : (i + 1) * U] * g_ref[:, k * U : (k + 1) * U]
+            cur = (i, k)
+        contrib = t * (c * w_ref[p, :][None, :].astype(dtype))
+        denv_acc[j] = contrib if denv_acc[j] is None else denv_acc[j] + contrib
+        red = c * jnp.sum(
+            t * env_e[:, j * U : (j + 1) * U].astype(dtype), axis=0, keepdims=True
+        )
+        dw_acc[p] = red if dw_acc[p] is None else dw_acc[p] + red
+
+    vals = jnp.concatenate(
+        [a if a is not None else jnp.zeros((eb, U), dtype) for a in denv_acc], axis=1
+    )
+    sa, sb = _scatter_windows(o, vals, eb, dtype)
+    first = _first_visit(win_ref)
+
+    @pl.when(first)
+    def _():
+        dA_ref[...] = jnp.zeros_like(dA_ref)
+        dB_ref[...] = jnp.zeros_like(dB_ref)
+
+    dA_ref[...] = dA_ref[...] + sa.astype(dA_ref.dtype)
+    dB_ref[...] = dB_ref[...] + sb.astype(dB_ref.dtype)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    for p in range(n_paths):
+        if dw_acc[p] is not None:
+            dw_ref[p, :] = dw_ref[p, :] + dw_acc[p][0].astype(dw_ref.dtype)
+
+
+def bwd_fused_call(x, g, envA, envB, w, offs_p, win, *, entries, dims, U, eb, n_rank_rows):
+    """x [Ep,d1U], g [Ep,d3U], env windows, w [P,U]
+    → (dx [Ep,d1U], dA, dB [Nr,d2U], dw [P,U])."""
+    Ep = x.shape[0]
+    nb = Ep // eb
+    d1, d2, d3 = dims
+    n_paths = 1 + max(e[3] for e in entries)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((8, eb), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((eb, d1 * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((eb, d3 * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((eb, d1 * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_paths, U), lambda b, w_: (0, 0), memory_space=pltpu.VMEM),
+        ],
+    )
+    kern = functools.partial(
+        _bwd_fused_kernel, entries=tuple(entries), dims=dims, U=U, eb=eb, n_paths=n_paths
+    )
+    env_shape = jax.ShapeDtypeStruct((n_rank_rows, d2 * U), x.dtype)
+    return pl.pallas_call(
+        kern,
+        out_shape=[
+            jax.ShapeDtypeStruct((Ep, d1 * U), x.dtype),
+            env_shape,
+            env_shape,
+            jax.ShapeDtypeStruct((n_paths, U), x.dtype),
+        ],
+        grid_spec=grid_spec,
+        interpret=INTERPRET,
+    )(win, offs_p, x, g, envA, envB, w)
+
+
+def _unweight_both_kernel(
+    win_ref, offs_ref, tA_ref, tB_ref, sh_ref, wexp_ref, dsh_ref, dwexp_ref,
+    *, dim_to_irr, U, eb
+):
+    """dsh and dwexp in one pass (shared denv-window gather)."""
+    o = offs_ref[0, :]
+    dtype = wexp_ref.dtype
+    t_e = _gather_windows(o, tA_ref[...], tB_ref[...], eb, dtype)
+    d2 = len(dim_to_irr)
+    n_irr = max(dim_to_irr) + 1
+    dsh_cols = []
+    acc = [None] * n_irr
+    for j in range(d2):
+        irr = dim_to_irr[j]
+        tj = t_e[:, j * U : (j + 1) * U].astype(dtype)
+        dsh_cols.append(
+            jnp.sum(tj * wexp_ref[:, irr * U : (irr + 1) * U], axis=1, keepdims=True)
+        )
+        prod = tj * sh_ref[:, j : j + 1]
+        acc[irr] = prod if acc[irr] is None else acc[irr] + prod
+    dsh_ref[...] = jnp.concatenate(dsh_cols, axis=1).astype(dsh_ref.dtype)
+    dwexp_ref[...] = jnp.concatenate(acc, axis=1).astype(dwexp_ref.dtype)
+
+
+def unweight_both_call(tA, tB, sh, wexp, offs_p, win, *, dim_to_irr, U, eb):
+    """→ (dsh [Ep, d2], dwexp [Ep, n_irr*U])."""
+    Ep = sh.shape[0]
+    nb = Ep // eb
+    d2 = len(dim_to_irr)
+    n_irr = max(dim_to_irr) + 1
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((8, eb), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((eb, d2), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((eb, n_irr * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((eb, d2), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((eb, n_irr * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+        ],
+    )
+    kern = functools.partial(
+        _unweight_both_kernel, dim_to_irr=tuple(dim_to_irr), U=U, eb=eb
+    )
+    return pl.pallas_call(
+        kern,
+        out_shape=[
+            jax.ShapeDtypeStruct((Ep, d2), wexp.dtype),
+            jax.ShapeDtypeStruct((Ep, n_irr * U), wexp.dtype),
+        ],
+        grid_spec=grid_spec,
+        interpret=INTERPRET,
+    )(win, offs_p, tA, tB, sh, wexp)
 
 
 def _gather_unweight_w_kernel(

@@ -1,7 +1,9 @@
 """Driver benchmark entry point: prints ONE JSON line.
 
 Implementation lives in allegro_tpu.bench (usable from the CLI as the
-`benchmark` stage too).
+`benchmark` stage too). The JSON carries the headline µs/atom/step metric
+plus the other BASELINE.md metrics (train samples/sec, force-MAE parity vs
+the f64 oracle) in the "extra" block.
 """
 
 import json
@@ -19,9 +21,23 @@ try:
 except Exception:
     pass
 
-from allegro_tpu.bench import run_benchmark
+from allegro_tpu.bench import run_benchmark, run_parity, run_train_bench
 
 if __name__ == "__main__":
+    verbose = "-v" in sys.argv
     n = int(os.environ.get("BENCH_N_ATOMS", "4096"))
-    result = run_benchmark(n_atoms=n, verbose="-v" in sys.argv)
+    result = run_benchmark(n_atoms=n, verbose=verbose)
+    if os.environ.get("BENCH_SKIP_EXTRA", "0") != "1":
+        try:
+            result["extra"]["train_samples_per_sec"] = round(
+                run_train_bench(verbose=verbose), 2
+            )
+        except Exception as e:  # keep the headline metric even if a stage dies
+            result["extra"]["train_samples_per_sec_error"] = str(e)[:300]
+        try:
+            mae, rel = run_parity(verbose=verbose)
+            result["extra"]["force_mae_vs_f64"] = float(f"{mae:.3e}")
+            result["extra"]["force_mae_vs_f64_rel"] = float(f"{rel:.3e}")
+        except Exception as e:
+            result["extra"]["force_mae_error"] = str(e)[:300]
     print(json.dumps(result))

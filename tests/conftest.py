@@ -33,6 +33,18 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: slow tests (interpret-mode Pallas, model batteries)")
+    config.addinivalue_line("markers", "fast: fast tier (< 5 min total on 1 CPU)")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Everything not marked slow is the fast tier: `pytest -m fast`."""
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.fast)
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.RandomState(0)

@@ -6,6 +6,8 @@ import numpy as np
 import jax
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from allegro_tpu.data import keys
 from allegro_tpu.md import MDState, Simulation, kinetic_energy
 from allegro_tpu.model import AllegroEnergyModel

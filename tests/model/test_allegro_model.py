@@ -11,6 +11,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from allegro_tpu.data import batch_frames, keys, to_jax
 from allegro_tpu.data.datasets import synthetic_molecular_frames
 from allegro_tpu.data.neighborlist import neighbor_list

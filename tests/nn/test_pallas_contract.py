@@ -8,6 +8,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import allegro_tpu.ops.pallas_contract as pc
 from allegro_tpu.lib.irreps import Irreps
 from allegro_tpu.nn.contract import Contracter

@@ -6,6 +6,8 @@ import jax
 import optax
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import allegro_tpu.ops.pallas_contract as pc
 from allegro_tpu.data import DataLoader, InMemoryDataset, compute_statistics
 from allegro_tpu.data.datasets import synthetic_molecular_frames
