@@ -20,6 +20,28 @@ import numpy as np
 from ..data import keys
 
 
+def _to_plain(obj):
+    """Mappings → plain nested dicts (a stable, serializable pytree type)."""
+    if hasattr(obj, "items"):
+        return {k: _to_plain(v) for k, v in obj.items()}
+    return obj
+
+
+def _skeletonize(obj, leaves: list):
+    """Replace leaves with indices; record them in traversal order (sorted
+    keys — matching jax's dict flatten order, but independent of it)."""
+    if isinstance(obj, dict):
+        return {k: _skeletonize(obj[k], leaves) for k in sorted(obj)}
+    leaves.append(obj)
+    return {"__leaf__": len(leaves) - 1}
+
+
+def _unskeletonize(skel, leaves):
+    if isinstance(skel, dict) and "__leaf__" in skel:
+        return leaves[skel["__leaf__"]]
+    return {k: _unskeletonize(v, leaves) for k, v in skel.items()}
+
+
 def export_model(
     model,
     params,
@@ -49,6 +71,10 @@ def export_model(
         out = model.apply_with_derivatives(params, data)
         return tuple(out[k] for k in tgt.outputs)
 
+    # plain-dict params: a stable pytree type that the artifact can rebuild
+    # without poking jax.export internals (the treedef is serialized as a
+    # JSON skeleton in meta.json)
+    params = _to_plain(params)
     args = (
         params,
         jnp.zeros((n_atoms, 3), dtype),
@@ -66,8 +92,11 @@ def export_model(
     except AttributeError:
         mlir_blob = str(exported.mlir_module()).encode()
 
-    params_np = jax.tree.map(lambda x: np.asarray(x), params)
-    flat, treedef = jax.tree.flatten(params_np)
+    # C-contiguous copies: the native driver's minimal npy parser (and the
+    # PJRT buffer-from-host call) expect row-major data
+    params_np = jax.tree.map(lambda x: np.ascontiguousarray(np.asarray(x)), params)
+    flat: list = []
+    skeleton = _skeletonize(params_np, flat)
     buf = io.BytesIO()
     np.savez(buf, **{f"p{i}": a for i, a in enumerate(flat)})
     meta = {
@@ -79,13 +108,25 @@ def export_model(
         "n_edges": n_edges,
         "dtype": np.dtype(dtype).name,
         "n_params": len(flat),
+        "params_tree": skeleton,
         "config": {k: str(v) for k, v in getattr(model, "config", {}).items()},
     }
+    # serialized xla CompileOptionsProto: PJRT_Client_Compile (C API) needs
+    # it verbatim — generating it here spares the C++ MD driver a protobuf
+    # dependency
+    try:
+        from jax._src.lib import xla_client as _xc
+
+        compile_opts = _xc.CompileOptions().SerializeAsString()
+    except Exception:
+        compile_opts = b""
+
     out = io.BytesIO()
     with zipfile.ZipFile(out, "w") as z:
         z.writestr("model.stablehlo", blob)
         z.writestr("model.mlir", mlir_blob)
         z.writestr("params.npz", buf.getvalue())
+        z.writestr("compile_options.pb", compile_opts)
         z.writestr("meta.json", json.dumps(meta, indent=2))
     return out.getvalue()
 
@@ -122,7 +163,6 @@ class LoadedModel:
 
 
 def load_exported(path_or_bytes) -> LoadedModel:
-    import jax
     from jax import export as jexport
 
     if isinstance(path_or_bytes, (bytes, bytearray)):
@@ -134,12 +174,9 @@ def load_exported(path_or_bytes) -> LoadedModel:
         meta = json.loads(z.read("meta.json"))
         npz = np.load(io.BytesIO(z.read("params.npz")))
         flat = [npz[f"p{i}"] for i in range(meta["n_params"])]
-    # rebuild the params pytree structure from the exported signature: the
-    # exported call takes the flat list in tree order, so re-flatten a
-    # template is unnecessary — jax.export carries the treedef itself.
-    # We reconstruct via the exported in_tree.
-    treedef = exported.in_tree.children()[0].children()[0]
-    params = jax.tree.unflatten(treedef, flat)
+    # rebuild the params pytree from the serialized JSON skeleton — no
+    # private jax.export structure access (version-drift-proof)
+    params = _unskeletonize(meta["params_tree"], flat)
     return LoadedModel(exported, params, meta)
 
 

@@ -137,5 +137,5 @@ def spherical_harmonics(
     blocks = []
     for l in ls:
         coeffs = jnp.asarray(sh_coefficients(l), dtype=dtype)
-        blocks.append(monos[l] @ coeffs)
+        blocks.append(jnp.matmul(monos[l], coeffs, precision="highest"))
     return jnp.concatenate(blocks, axis=-1)

@@ -85,6 +85,7 @@ class Simulation:
         langevin_kT: float = 0.0,
         seed: int = 0,
         strategy: str = "edge_shard",  # or "slab": spatial domain decomposition
+        per_edge_type_cutoff: Optional[np.ndarray] = None,  # [T, T] <= r_max
     ):
         self.model = model
         self.params = params
@@ -93,6 +94,14 @@ class Simulation:
         self.masses_per_atom = np.asarray(masses, dtype=np.float64)[self.types]
         self.r_max = float(r_max)
         self.skin = float(skin)
+        # per-(center,neighbor)-type cutoff matrix: edges longer than their
+        # type pair's cutoff are dropped at (re-)neighboring, matching the
+        # training-time neighbor list (reference EdgeLengthNormalizer role,
+        # allegro/model/allegro_models.py:153-157)
+        if per_edge_type_cutoff is not None:
+            per_edge_type_cutoff = np.asarray(per_edge_type_cutoff, np.float64)
+            assert (per_edge_type_cutoff <= r_max + 1e-12).all()
+        self.per_edge_type_cutoff = per_edge_type_cutoff
         self.dt = float(dt)
         self.cell = None if cell is None else np.asarray(cell, dtype=np.float64).reshape(3, 3)
         self.pbc = np.asarray(pbc, dtype=bool)
@@ -151,6 +160,14 @@ class Simulation:
         i, j, shifts = primitive_neighbor_list(
             positions, self.r_max + self.skin, self.cell, self.pbc
         )
+        if self.per_edge_type_cutoff is not None and len(i):
+            c = self.cell if self.cell is not None else np.zeros((3, 3))
+            r = np.linalg.norm(
+                positions[j] - positions[i] + shifts @ c, axis=1
+            )
+            # keep the skin margin per type pair (rebuild-trigger safety)
+            keep = r < self.per_edge_type_cutoff[self.types[i], self.types[j]] + self.skin
+            i, j, shifts = i[keep], j[keep], shifts[keep]
         E = len(i)
         per_dev = round_up(max(-(-E // self.n_dev), 1), self.edge_multiple)
         bucket = per_dev * self.n_dev

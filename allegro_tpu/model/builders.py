@@ -74,6 +74,7 @@ class FieldMLP(nn.Module):
     hidden_dims: Sequence[int] = ()
     nonlinearity: Optional[Callable] = nn.silu
     param_dtype: jnp.dtype = jnp.float32
+    precision: Optional[str] = "highest"
 
     @nn.compact
     def __call__(self, data: Dict) -> Dict:
@@ -84,6 +85,7 @@ class FieldMLP(nn.Module):
             nonlinearity=self.nonlinearity,
             name="mlp",
             param_dtype=self.param_dtype,
+            precision=self.precision,
         )(data[self.field])
         return out
 
@@ -161,8 +163,9 @@ def _instantiate_scalar_embed(cfg, num_types: int, output_dim: int, dtype):
         return TwoBodySplineScalarEmbed(
             num_types=num_types,
             output_dim=output_dim,
-            num_splines=int(cfg.pop("num_splines", cfg.pop("spline_grid_size", 8))),
-            spline_span=float(cfg.pop("spline_span", 1.0)),
+            num_splines=int(cfg.pop("num_splines", cfg.pop("spline_grid_size", 16))),
+            # integer overlap count (reference semantics, spline.py:18,43-49)
+            spline_span=int(cfg.pop("spline_span", 12)),
             polynomial_cutoff_p=int(cfg.pop("polynomial_cutoff_p", 6)),
             param_dtype=dtype,
         )
@@ -209,6 +212,9 @@ def FullAllegroEnergyModel(
     tp_kernel_backend: str = "einsum",
     tp_chunk_edges: int = 0,
     remat: bool = False,
+    # reference default allow_tf32=false (configs/tutorial.yaml:166-167):
+    # full-f32 matmuls everywhere in the model. True = fast MXU semantics.
+    allow_tf32: bool = False,
     **_unused,
 ) -> Model:
     _kwargs = {k: v for k, v in locals().items() if k not in ("_unused",)}
@@ -224,6 +230,7 @@ def FullAllegroEnergyModel(
     else:
         irreps_sh = Irreps(str(irreps_edge_sh))
     avg_n = float(avg_num_neighbors) if avg_num_neighbors is not None else 1.0
+    prec = None if allow_tf32 else "highest"
     embed_dim = (
         int(radial_chemical_embed_dim)
         if radial_chemical_embed_dim is not None
@@ -255,6 +262,7 @@ def FullAllegroEnergyModel(
                 * scalar_embed_mlp_hidden_layers_depth,
                 nonlinearity=NONLINEARITIES[scalar_embed_mlp_nonlinearity],
                 param_dtype=dtype,
+                precision=prec,
             ),
         ),
         (
@@ -280,6 +288,7 @@ def FullAllegroEnergyModel(
                 tp_kernel_backend=tp_kernel_backend,
                 tp_chunk_edges=tp_chunk_edges,
                 remat=remat,
+                precision=prec,
             ),
         ),
         (
@@ -292,6 +301,7 @@ def FullAllegroEnergyModel(
                 * readout_mlp_hidden_layers_depth,
                 nonlinearity=NONLINEARITIES[readout_mlp_nonlinearity],
                 param_dtype=dtype,
+                precision=prec,
             ),
         ),
         (

@@ -115,8 +115,10 @@ class AllegroLayers(nn.Module):
     tp_path_channel_coupling: bool = True
     weight_individual_irreps: bool = True
     param_dtype: jnp.dtype = jnp.float32
-    tp_kernel_backend: str = "einsum"  # or "pallas"
+    tp_kernel_backend: str = "einsum"  # or "pallas"/"fused"/"fused_infer"
     tp_chunk_edges: int = 0  # >0: chunk the einsum TP over edges (lax.map)
+    # "highest" = reference allow_tf32=false parity (full-f32 matmuls)
+    precision: str | None = "highest"
     # rematerialize each layer in the backward pass: trades ~30% compute for
     # O(1)-layer activation memory — required for >~50k-atom force calls on a
     # 16GB chip (jax.checkpoint per layer)
@@ -136,7 +138,8 @@ class AllegroLayers(nn.Module):
         env_numel = self._env_weighter.weight_numel
         # linear first-layer projection: two-body scalars -> scalars_0 + env_w_0
         self.first_projection = ScalarMLP(
-            S + env_numel, hidden_dims=(), param_dtype=self.param_dtype
+            S + env_numel, hidden_dims=(), param_dtype=self.param_dtype,
+            precision=self.precision,
         )
         scatter_factor = 1.0 / math.sqrt(self.avg_num_neighbors)
         tps = []
@@ -153,6 +156,7 @@ class AllegroLayers(nn.Module):
                     param_dtype=self.param_dtype,
                     kernel_backend=self.tp_kernel_backend,
                     chunk_edges=self.tp_chunk_edges or None,
+                    precision=self.precision,
                 )
             )
             last = layer == self.num_layers - 1
@@ -161,6 +165,7 @@ class AllegroLayers(nn.Module):
                     S + (0 if last else env_numel),
                     hidden_dims=tuple(self.mlp_hidden_dims),
                     param_dtype=self.param_dtype,
+                    precision=self.precision,
                 )
             )
         self.tps = tps

@@ -47,9 +47,14 @@ class MakeWeightedChannels:
         dim = self.irreps_in.dim
         if self.weight_individual_irreps:
             w = weights.reshape(E, self.mul_out, len(self.irreps_in))
-            w_full = (w @ jnp.asarray(self._rtoi, dtype=weights.dtype)).reshape(
-                E, self.mul_out * dim
+            # exact per-irrep expansion (repeat, not a 0/1 matmul — MXU f32
+            # matmuls at default precision would round the weights to bf16)
+            reps = np.array(
+                [sl.stop - sl.start for sl in self.irreps_in.slices()], np.int64
             )
+            w_full = jnp.repeat(
+                w, reps, axis=-1, total_repeat_length=dim
+            ).reshape(E, self.mul_out * dim)
         else:
             w_full = jnp.repeat(weights.reshape(E, self.mul_out), dim, axis=1)
         sh_rep = jnp.tile(edge_attr, (1, self.mul_out))  # [E, mul*dim]

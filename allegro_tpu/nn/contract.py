@@ -108,6 +108,10 @@ class Contracter(nn.Module):
     # [E_chunk, mul, d1, d3] temporary so it stays memory-feasible at large
     # edge counts. None = no chunking.
     chunk_edges: Optional[int] = None
+    # "highest" (default, reference allow_tf32=false parity) or None (fast
+    # MXU semantics when the config opts into allow_tf32: true). The Pallas
+    # kernel backends are exact regardless.
+    precision: Optional[str] = "highest"
 
     def setup(self):
         irreps_in1 = Irreps(self.irreps_in1)
@@ -186,13 +190,14 @@ class Contracter(nn.Module):
 
     def _contract_direct(self, x1, x2):
         dtype = x1.dtype
+        prec = self.precision
         w3j = jnp.asarray(self._w3j, dtype=dtype)
         w = self.path_weights.astype(dtype)
         if self.path_channel_coupling:
-            ww = jnp.einsum("up,pijk->uijk", w, w3j)
-            return jnp.einsum("zui,zuj,uijk->zuk", x1, x2, ww)
-        ww = jnp.einsum("p,pijk->ijk", w, w3j)
-        return jnp.einsum("zui,zuj,ijk->zuk", x1, x2, ww)
+            ww = jnp.einsum("up,pijk->uijk", w, w3j, precision=prec)
+            return jnp.einsum("zui,zuj,uijk->zuk", x1, x2, ww, precision=prec)
+        ww = jnp.einsum("p,pijk->ijk", w, w3j, precision=prec)
+        return jnp.einsum("zui,zuj,ijk->zuk", x1, x2, ww, precision=prec)
 
     def contract(self, x1, x2):
         """CG contraction, decomposed as a static loop over the first input's
@@ -205,21 +210,22 @@ class Contracter(nn.Module):
         epilogue. The Pallas backend in ``allegro_tpu.ops`` fuses further.
         """
         dtype = x1.dtype
+        prec = self.precision
         w3j = jnp.asarray(self._w3j, dtype=dtype)
         w = self.path_weights.astype(dtype)
         d1 = x1.shape[-1]
         if self.path_channel_coupling:
-            ww = jnp.einsum("up,pijk->uijk", w, w3j)  # [U, d1, d2, d3]
+            ww = jnp.einsum("up,pijk->uijk", w, w3j, precision=prec)  # [U, d1, d2, d3]
             out = None
             for i in range(d1):
-                y = jnp.einsum("zuj,ujk->zuk", x2, ww[:, i])
+                y = jnp.einsum("zuj,ujk->zuk", x2, ww[:, i], precision=prec)
                 t = x1[:, :, i : i + 1] * y
                 out = t if out is None else out + t
             return out
-        ww = jnp.einsum("p,pijk->ijk", w, w3j)  # [d1, d2, d3]
+        ww = jnp.einsum("p,pijk->ijk", w, w3j, precision=prec)  # [d1, d2, d3]
         out = None
         for i in range(d1):
-            y = x2 @ ww[i]
+            y = jnp.matmul(x2, ww[i], precision=prec)
             t = x1[:, :, i : i + 1] * y
             out = t if out is None else out + t
         return out

@@ -39,7 +39,9 @@ def with_edge_vectors(data: Dict, recompute: bool = False) -> Dict:
             edge_frame = jnp.zeros_like(centers)
         edge_cell = jnp.take(cell, edge_frame, axis=0)  # [E, 3, 3]
         shift = data[keys.EDGE_CELL_SHIFT].astype(vec.dtype)
-        vec = vec + jnp.einsum("es,esr->er", shift, edge_cell.astype(vec.dtype))
+        vec = vec + jnp.einsum(
+            "es,esr->er", shift, edge_cell.astype(vec.dtype), precision="highest"
+        )
     out = dict(data)
     out[keys.EDGE_VECTORS] = vec
     # NaN-safe norm: padded edges have zero vectors, and d|v|/dv at v=0 is

@@ -31,7 +31,7 @@ class EdgewiseReduce:
         factor: Optional[float] = None,
         reduce: str = "sum",
     ):
-        assert reduce in ("sum", "mean"), reduce
+        assert reduce in ("sum", "mean", "min", "max"), reduce
         self.field = field
         self.out_field = out_field
         self.factor = factor
@@ -44,6 +44,13 @@ class EdgewiseReduce:
         n_atoms = data[keys.POSITIONS].shape[0]
         centers = data[keys.EDGE_INDEX][0]
         out = dict(data)
+        if self.reduce in ("min", "max"):
+            # reference EdgewiseReduce also supports min/max scatters;
+            # edge-less atoms get 0 (the segment identity is ±inf)
+            seg = jax.ops.segment_min if self.reduce == "min" else jax.ops.segment_max
+            red = seg(x, centers, num_segments=n_atoms)
+            out[self.out_field] = jnp.where(jnp.isfinite(red), red, 0.0)
+            return out
         summed = jax.ops.segment_sum(x, centers, num_segments=n_atoms)
         if self.reduce == "mean":
             if keys.EDGE_MASK in data:

@@ -51,8 +51,12 @@ def force_stress_wrapper(
                 # symmetric strain: x' = x @ (I + ε); applied per frame
                 eps = 0.5 * (strain + jnp.swapaxes(strain, -1, -2))
                 eps_atoms = jnp.take(eps, batch, axis=0)  # [N, 3, 3]
-                d[keys.POSITIONS] = pos_in + jnp.einsum("ni,nij->nj", pos_in, eps_atoms)
-                d[keys.CELL] = cell + jnp.einsum("fij,fjk->fik", cell, eps)
+                d[keys.POSITIONS] = pos_in + jnp.einsum(
+                    "ni,nij->nj", pos_in, eps_atoms, precision="highest"
+                )
+                d[keys.CELL] = cell + jnp.einsum(
+                    "fij,fjk->fik", cell, eps, precision="highest"
+                )
                 # force recompute of geometry from the strained inputs
                 d.pop(keys.EDGE_VECTORS, None)
                 d.pop(keys.EDGE_LENGTH, None)

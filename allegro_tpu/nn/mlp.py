@@ -32,12 +32,20 @@ class ScalarMLP(nn.Module):
     """Bias-free MLP: ``[in] -> hidden_dims -> [out]`` with SiLU between layers.
 
     ``hidden_dims=()`` gives a single linear layer (no nonlinearity anywhere).
+
+    ``precision`` defaults to "highest" — full-f32 matmuls, matching the
+    reference's ``allow_tf32: false`` default
+    (``/root/reference/configs/tutorial.yaml:166-167``). Recent TPU stacks
+    run f32 matmuls with bf16-multiply semantics (~1e-3 rel err) at default
+    precision, which breaks 5e-5 force parity. Builders pass ``None`` here
+    when the config opts into ``allow_tf32: true``.
     """
 
     output_dim: int
     hidden_dims: Sequence[int] = ()
     nonlinearity: Optional[Callable] = nn.silu
     param_dtype: jnp.dtype = jnp.float32
+    precision: Optional[str] = "highest"
 
     @property
     def is_nonlinear(self) -> bool:
@@ -50,7 +58,7 @@ class ScalarMLP(nn.Module):
             w = self.param(
                 f"w{k}", forward_weight_init, (x.shape[-1], d), self.param_dtype
             )
-            x = x @ w.astype(x.dtype)
+            x = jnp.dot(x, w.astype(x.dtype), precision=self.precision)
             if k < len(dims) - 1 and self.nonlinearity is not None:
                 x = self.nonlinearity(x)
         return x

@@ -91,27 +91,38 @@ class TwoBodyBesselScalarEmbed(nn.Module):
 
 
 class TwoBodySplineScalarEmbed(nn.Module):
-    """Per-edge-type spline of normalized length → EDGE_EMBEDDING."""
+    """Per-edge-type spline of normalized length → EDGE_EMBEDDING.
+
+    Reference parity (``allegro/nn/scalarembed.py:84-175``): the spline basis
+    itself vanishes smoothly at the cutoff (``u = 1``), so the embedding needs
+    no extra cutoff envelope — MD energies stay continuous across
+    re-neighboring. ``spline_span`` is the reference's integer overlap count
+    (reference defaults ``num_splines=16, spline_span=12``; its tests use
+    ``8 / 6``). ``EDGE_CUTOFF`` is still attached for downstream consumers
+    (ZBL pair potential — the reference adds it via ``AddRadialCutoffToData``
+    only in that case, ``allegro/model/allegro_models.py:270-288``)."""
 
     num_types: int
     output_dim: int = 64
-    num_splines: int = 8
-    spline_span: float = 1.0
+    num_splines: int = 16
+    spline_span: int = 12
     polynomial_cutoff_p: int = 6
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, data: Dict) -> Dict:
-        u = data[keys.NORM_LENGTH][:, 0].astype(self.param_dtype)
+        # spline math in the geometry dtype (float64 on x64 hosts, mirroring
+        # the reference _GLOBAL_DTYPE policy), cast to model dtype at the end
+        u = data[keys.NORM_LENGTH][:, 0]
         edge_type = data[keys.EDGE_TYPE]
         emb = PerClassSpline(
             num_classes=self.num_types * self.num_types,
             channels=self.output_dim,
             num_splines=self.num_splines,
-            span=self.spline_span,
+            spline_span=int(self.spline_span),
             name="spline",
             param_dtype=self.param_dtype,
-        )(u, edge_type)
+        )(u, edge_type).astype(self.param_dtype)
         out = dict(data)
         mask = _edge_mask(data, emb)
         cutoff = PolynomialCutoff(self.polynomial_cutoff_p)(u)[:, None].astype(emb.dtype)

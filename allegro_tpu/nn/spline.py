@@ -1,16 +1,32 @@
 """Per-class smooth spline over normalized edge length.
 
-Role of the reference ``PerClassSpline`` (``allegro/nn/spline.py``): a learned
-function of the normalized length, with independent weights per class (edge
-type), built from smooth finite-support cosine bumps so the function and its
-derivative vanish at the outer grid edge (cutoff behavior for free).
+Role of the reference ``PerClassSpline`` (``allegro/nn/spline.py``), with the
+same basis semantics:
 
-TPU-first formulation: evaluating the basis is a closed-form vectorized
-expression and the per-class weight lookup is a gather + batched matmul —
-no host control flow, static shapes.
+- ``num_splines`` = K basis functions; ``spline_span`` = s is an INTEGER — the
+  number of basis functions overlapping at a grid point
+  (``allegro/nn/spline.py:18,43-49``).
+- Bump k has support ``[lower_k, lower_k + diff]`` with ``lower_k = (k-s)/K``
+  and ``diff = (s+1)/K``; on its support
+  ``b_k(x) = 0.25 * (1 - cos(2π (x - lower_k)/diff))²`` — one full cosine
+  period, C¹-smooth, identically zero outside (``spline.py:83-89``).
+- The last bump's support ends exactly at ``x = 1`` (``lower_{K-1} + diff =
+  (K-1-s)/K + (s+1)/K = 1``), so EVERY basis function — and therefore the
+  embedding — vanishes smoothly at the cutoff: no extra cutoff envelope is
+  needed, and MD energies stay continuous across re-neighboring events.
+- Forward-normalized init: weights ~ U(−√(3/s), √(3/s)) since ≈ s bumps
+  overlap at any interior point (``allegro/nn/scalarembed.py:139-145``).
+
+TPU-first formulation: the basis is one vectorized clip+cos expression; the
+per-class weight lookup is a gather + batched contraction — static shapes, no
+host control flow. Basis math runs in the input's dtype (float64 on x64 hosts,
+mirroring the reference's ``_GLOBAL_DTYPE`` policy, ``spline.py:5,27``) and is
+cast to the model dtype by the caller.
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 import flax.linen as nn
@@ -18,30 +34,21 @@ import jax
 import jax.numpy as jnp
 
 
-def spline_basis(x, num_splines: int, span: float = 1.0):
-    """Smooth bump basis on [0, span]: [..., num_splines].
+def spline_basis(x, num_splines: int, spline_span: int):
+    """Reference-parity bump basis on [0, 1]: [..., num_splines].
 
-    Bump k is centered at ``k * h`` (h = span/(num_splines-1)) with support
-    ``|x - c_k| < 2h``: ``b_k(x) = 0.25 * (1 + cos(pi t / 2))**2`` with
-    ``t = (x - c_k)/h`` — C^1-smooth, zero outside its support. The basis is
-    scaled by a constant so ``sum_k b_k(x)^2 ≈ 1`` on the grid interior, which
-    makes unit-variance weights give unit-variance outputs (the forward
-    normalization the reference achieves with its init bound,
-    ``allegro/nn/scalarembed.py:139-145``).
+    ``spline_span`` is the integer overlap count (``allegro/nn/spline.py:43-49``).
+    Every bump vanishes identically for x >= 1.
     """
+    assert 0 <= spline_span <= num_splines, (spline_span, num_splines)
+    assert num_splines > 0
     x = jnp.asarray(x)
-    h = span / (num_splines - 1)
-    centers = jnp.arange(num_splines, dtype=x.dtype) * h
-    t = (x[..., None] - centers) / h
-    b = jnp.where(jnp.abs(t) < 2.0, 0.25 * (1.0 + jnp.cos(jnp.pi * t / 2.0)) ** 2, 0.0)
-    # interior normalization constant: mean of sum_k b_k^2 over the grid
-    xs = np.linspace(0.25 * span, 0.75 * span, 101)
-    tt = (xs[:, None] - np.arange(num_splines) * (span / (num_splines - 1))) / (
-        span / (num_splines - 1)
-    )
-    bb = np.where(np.abs(tt) < 2.0, 0.25 * (1.0 + np.cos(np.pi * tt / 2.0)) ** 2, 0.0)
-    norm = float(np.sqrt((bb**2).sum(axis=1).mean()))
-    return b / norm
+    K, s = num_splines, int(spline_span)
+    lower = (jnp.arange(K, dtype=x.dtype) - s) / K
+    diff = (s + 1) / K
+    const = 2.0 * math.pi / diff
+    t = const * (jnp.clip(x[..., None], lower, lower + diff) - lower)
+    return 0.25 * jnp.square(1.0 - jnp.cos(t))
 
 
 class PerClassSpline(nn.Module):
@@ -49,18 +56,24 @@ class PerClassSpline(nn.Module):
 
     num_classes: int
     channels: int
-    num_splines: int = 8
-    span: float = 1.0
+    num_splines: int = 16
+    spline_span: int = 12
+    # forward-normalized init (reference forward_weight_init=True default)
+    forward_weight_init: bool = True
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, class_idx):
+        if self.forward_weight_init:
+            bound = math.sqrt(3.0 / max(self.spline_span, 1))
+        else:
+            bound = math.sqrt(3.0 / self.channels)
         w = self.param(
             "spline_weights",
-            lambda key, s, d: jax.random.uniform(key, s, d, -np.sqrt(3.0), np.sqrt(3.0)),
+            lambda key, s, d: jax.random.uniform(key, s, d, -bound, bound),
             (self.num_classes, self.channels, self.num_splines),
             self.param_dtype,
         )
-        basis = spline_basis(x, self.num_splines, self.span)  # [E, K]
-        w_e = jnp.take(w, class_idx, axis=0).astype(basis.dtype)  # [E, C, K]
-        return jnp.einsum("ek,eck->ec", basis, w_e)
+        basis = spline_basis(x, self.num_splines, self.spline_span)  # [E, K]
+        w_e = jnp.take(w, class_idx, axis=0, mode="clip").astype(basis.dtype)
+        return jnp.einsum("ek,eck->ec", basis, w_e, precision="highest")

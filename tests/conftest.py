@@ -22,6 +22,17 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# Persistent XLA compilation cache: the test suite is compile-bound on a
+# small CI host (every jitted model/MD block is a fresh XLA compile).
+# Caching compiles across runs turns re-verification from hours into minutes.
+_cache_dir = os.environ.get(
+    "ALLEGRO_TEST_CACHE", os.path.expanduser("~/.cache/allegro_tpu/xla_test_cache")
+)
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 jax.config.update("jax_enable_x64", True)
 # Reference-parity numerics: the reference defaults to allow_tf32=False
 # (full-f32 matmuls, /root/reference/configs/tutorial.yaml:166-167). Recent JAX
