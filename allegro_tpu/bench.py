@@ -65,15 +65,19 @@ def _crystal_frame(n_atoms, r_max, seed=0):
     return neighbor_list(frame, r_max), n_atoms
 
 
-def _flagship_model(avg_num_neighbors, backend, r_max=4.0, remat=False):
+def _flagship_model(avg_num_neighbors, backend, r_max=4.0, remat=False,
+                    tensor_dtype=None):
     from allegro_tpu.model import AllegroModel
 
+    if tensor_dtype is None:
+        tensor_dtype = os.environ.get("BENCH_TENSOR_DTYPE") or None
     return AllegroModel(
         **_FLAGSHIP,
         avg_num_neighbors=avg_num_neighbors,
         model_dtype="float32",
         tp_kernel_backend=backend,
         remat=remat,
+        tensor_dtype=tensor_dtype,
     )
 
 

@@ -31,7 +31,9 @@ EDGE_CUTOFF = "edge_cutoff"           # [E, 1] — smooth cutoff envelope value
 EDGE_EMBEDDING = "edge_embedding"     # [E, D] — two-body scalar embedding
 EDGE_ATTRS = "edge_attrs"             # [E, dim] — SH tensor basis (mul=1)
 EDGE_FEATURES = "edge_features"       # [E, mul, dim] — strided tensor features
-EDGE_SCALARS = "edge_scalars"         # [E, D] — accumulated scalar track
+EDGE_SCALARS = "edge_scalars"         # tuple of [E, S] blocks — scalar track
+                                      # (kept unconcatenated; ScalarMLP
+                                      # consumers take pieces directly)
 EDGE_ENERGY = "edge_energy"           # [E, 1]
 
 # --- per-frame ---

@@ -212,6 +212,10 @@ def FullAllegroEnergyModel(
     tp_kernel_backend: str = "einsum",
     tp_chunk_edges: int = 0,
     remat: bool = False,
+    # "bfloat16": store the per-edge tensor track bf16 between layers (fused
+    # backends; f32 in-kernel compute) — ~2x less HBM traffic + 2x atom
+    # ceiling at ~1e-4-level force error. None = model_dtype (exact).
+    tensor_dtype: Optional[str] = None,
     # reference default allow_tf32=false (configs/tutorial.yaml:166-167):
     # full-f32 matmuls everywhere in the model. True = fast MXU semantics.
     allow_tf32: bool = False,
@@ -289,6 +293,7 @@ def FullAllegroEnergyModel(
                 tp_chunk_edges=tp_chunk_edges,
                 remat=remat,
                 precision=prec,
+                tensor_dtype=tensor_dtype,
             ),
         ),
         (

@@ -30,6 +30,7 @@ from __future__ import annotations
 from typing import Dict, List, Sequence, Tuple
 
 import math
+import os
 
 import flax.linen as nn
 import jax
@@ -98,8 +99,9 @@ def _subset_dims(full: Irreps, subset: Irreps) -> List[int]:
 PACKED_ENV_VARIANT = "edge_major"
 
 # edge-block size of the fused kernel backend (rank-space window width);
-# 128 measured fastest on v5e (the one-hot window matmuls cost O(eb)/edge)
-FUSED_BLOCK_EDGES = 128
+# trade-off: the one-hot window matmuls cost O(eb)/edge (MXU), per-block
+# fixed overheads cost O(1/eb). Overridable for per-hardware tuning.
+FUSED_BLOCK_EDGES = int(os.environ.get("ALLEGRO_FUSED_EB", "128"))
 
 
 class AllegroLayers(nn.Module):
@@ -119,6 +121,11 @@ class AllegroLayers(nn.Module):
     tp_chunk_edges: int = 0  # >0: chunk the einsum TP over edges (lax.map)
     # "highest" = reference allow_tf32=false parity (full-f32 matmuls)
     precision: str | None = "highest"
+    # storage dtype of the per-edge tensor track between layers (fused
+    # backends only): "bfloat16" halves the dominant HBM traffic and doubles
+    # the single-chip atom ceiling; every in-kernel product/accumulation
+    # stays f32 (see ops/fused_tp.compute_dtype). None = param_dtype (exact).
+    tensor_dtype: str | None = None
     # rematerialize each layer in the backward pass: trades ~30% compute for
     # O(1)-layer activation memory — required for >~50k-atom force calls on a
     # 16GB chip (jax.checkpoint per layer)
@@ -207,6 +214,8 @@ class AllegroLayers(nn.Module):
                 sh_p, centers_p = sh, centers
             d1 = features.shape[-1]
             features = features.transpose(0, 2, 1).reshape(Ep, d1 * U)
+            if self.tensor_dtype is not None:
+                features = features.astype(jnp.dtype(self.tensor_dtype))
             win, offs = make_block_plan(centers_p, eb)
             plan = (offs, win)
             n_rank = num_rank_rows(n_atoms, eb)
@@ -257,7 +266,9 @@ class AllegroLayers(nn.Module):
             scalar_blocks.append(lat[:, :S])
             env_w = lat[:, S:]
         out = dict(data)
-        out[keys.EDGE_SCALARS] = jnp.concatenate(scalar_blocks, axis=-1)
+        # tuple of blocks, not a materialized concat: the readout ScalarMLP
+        # consumes pieces directly (first-matmul row-block split)
+        out[keys.EDGE_SCALARS] = tuple(scalar_blocks)
         return out
 
     def _layer_body(self, statics, features, env_w, scalars_tuple, sh_p, centers_p):
@@ -269,19 +280,18 @@ class AllegroLayers(nn.Module):
             wexp = env_w if env_w.shape[0] == Ep else jnp.pad(
                 env_w, ((0, Ep - E), (0, 0))
             )
-            if self.weight_individual_irreps:
-                # env weights arrive u-major [E, U*n_irr] (the shared param
-                # convention of MakeWeightedChannels); the kernels slice
-                # per-irrep U-wide lane blocks, so flip to irr-major
-                wexp = wexp.reshape(Ep, U, n_irr).swapaxes(1, 2).reshape(
-                    Ep, n_irr * U
-                )
-            else:  # one weight per channel, shared across irreps
+            if not self.weight_individual_irreps:
+                # one weight per channel, shared across irreps
                 wexp = jnp.tile(wexp, (1, n_irr))
+            if self.tensor_dtype is not None:
+                wexp = wexp.astype(jnp.dtype(self.tensor_dtype))
+            # else: env weights arrive irrep-major [E, n_irr*U] (the shared
+            # MakeWeightedChannels convention) — exactly the U-wide per-irrep
+            # lane blocks the kernels slice; no transpose on the hot path
             feats = self.tps[layer].fused_call(
                 features, sh_p, wexp, offs, win, n_rank, FUSED_BLOCK_EDGES
             )
-            tp_scalars = feats[:, :U][:E]  # leading 0e per channel
+            tp_scalars = feats[:, :U][:E].astype(self.param_dtype)
         elif packed:
             env_w_p = env_w if env_w.shape[0] == Ep else jnp.pad(
                 env_w, ((0, Ep - E), (0, 0))
@@ -301,6 +311,7 @@ class AllegroLayers(nn.Module):
             weighted_sh = self._env_weighter(sh_p, env_w)  # [E, mul, dim_sh]
             feats = self.tps[layer](features, weighted_sh, centers_p, n_atoms)
             tp_scalars = feats[:, :, 0]  # leading 0e per channel
-        latent_in = jnp.concatenate(list(scalars_tuple) + [tp_scalars], axis=-1)
-        lat = self.latents[layer](latent_in)
+        # densenet latent input: pass the pieces, not a materialized concat
+        # (ScalarMLP splits its first matmul over row blocks of w0)
+        lat = self.latents[layer](list(scalars_tuple) + [tp_scalars])
         return feats, lat

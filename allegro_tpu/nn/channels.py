@@ -39,6 +39,14 @@ class MakeWeightedChannels:
     def __call__(self, edge_attr, weights):
         """edge_attr [E, dim], weights [E, weight_numel] → [E, mul, dim].
 
+        Weight layout convention: **irrep-major** — ``weights`` columns are
+        ``[irrep_0 × mul, irrep_1 × mul, ...]`` (``reshape(E, n_irr, mul)``).
+        This is the layout the fused Pallas kernels consume directly (U-wide
+        lane blocks per irrep), so the hot path pays no transpose; here the
+        layout change folds into the elementwise product. The choice is a
+        fixed permutation of learned columns — model-equivalent, but it must
+        be consistent across every backend (shared param pytree).
+
         Computed in the flat [E, mul*dim] layout: elementwise ops on arrays
         whose minor dim is the tiny irreps dim waste ~93% of the TPU's 128
         lanes (measured 12x slower); the boundary reshapes are free.
@@ -46,15 +54,15 @@ class MakeWeightedChannels:
         E = edge_attr.shape[0]
         dim = self.irreps_in.dim
         if self.weight_individual_irreps:
-            w = weights.reshape(E, self.mul_out, len(self.irreps_in))
+            w = weights.reshape(E, len(self.irreps_in), self.mul_out)
             # exact per-irrep expansion (repeat, not a 0/1 matmul — MXU f32
             # matmuls at default precision would round the weights to bf16)
             reps = np.array(
                 [sl.stop - sl.start for sl in self.irreps_in.slices()], np.int64
             )
-            w_full = jnp.repeat(
-                w, reps, axis=-1, total_repeat_length=dim
-            ).reshape(E, self.mul_out * dim)
+            # [E, dim, mul] — irrep blocks expanded to their basis dims
+            w_dm = jnp.repeat(w, reps, axis=1, total_repeat_length=dim)
+            w_full = w_dm.swapaxes(1, 2).reshape(E, self.mul_out * dim)
         else:
             w_full = jnp.repeat(weights.reshape(E, self.mul_out), dim, axis=1)
         sh_rep = jnp.tile(edge_attr, (1, self.mul_out))  # [E, mul*dim]
@@ -72,10 +80,10 @@ class MakeWeightedChannels:
         no transpose of the big array (the TPU kernel path's layout)."""
         E = edge_attr.shape[0]
         if self.weight_individual_irreps:
-            w = weights.reshape(E, self.mul_out, len(self.irreps_in))
+            w = weights.reshape(E, len(self.irreps_in), self.mul_out)
             cols = []
             for d_, ir in enumerate(self._dim_to_irrep()):
-                cols.append(edge_attr[:, d_, None] * w[:, :, ir])  # [E, mul]
+                cols.append(edge_attr[:, d_, None] * w[:, ir, :])  # [E, mul]
             return jnp.stack(cols, axis=0)  # [dim, E, mul]
         w = weights.reshape(E, self.mul_out)
         return edge_attr.T[:, :, None] * w[None, :, :]

@@ -95,7 +95,8 @@ def env_scatter(sh, wexp, offs, win, *, dim_to_irr, U, eb, n_rank_rows):
 
 @env_scatter_p.def_abstract_eval
 def _env_scatter_abs(sh, wexp, offs, win, *, dim_to_irr, U, eb, n_rank_rows):
-    return core.ShapedArray((n_rank_rows, len(dim_to_irr) * U), sh.dtype)
+    dt = fused_tp.compute_dtype(sh.dtype, wexp.dtype)
+    return core.ShapedArray((n_rank_rows, len(dim_to_irr) * U), dt)
 
 
 def _env_scatter_impl(sh, wexp, offs, win, *, dim_to_irr, U, eb, n_rank_rows):
@@ -132,7 +133,8 @@ def _env_scatter_transpose(ct, sh, wexp, offs, win, *, dim_to_irr, U, eb, n_rank
     if ad.is_undefined_primal(sh):
         return (unweight_sh(ct, wexp, offs, win, **kw), None, None, None)
     assert ad.is_undefined_primal(wexp)
-    return (None, unweight_w(ct, sh, offs, win, **kw), None, None)
+    gw = unweight_w(ct, sh, offs, win, out_dtype=wexp.aval.dtype, **kw)
+    return (None, gw, None, None)
 
 
 ad.primitive_transposes[env_scatter_p] = _env_scatter_transpose
@@ -222,7 +224,8 @@ def tp_scatter(x, g, w, offs, win, *, entries, dims, U, eb, n_rank_rows):
 
 @tp_scatter_p.def_abstract_eval
 def _tp_scatter_abs(x, g, w, offs, win, *, entries, dims, U, eb, n_rank_rows):
-    return core.ShapedArray((n_rank_rows, dims[1] * U), x.dtype)
+    dt = fused_tp.compute_dtype(x.dtype, g.dtype)
+    return core.ShapedArray((n_rank_rows, dims[1] * U), dt)
 
 
 def _tp_scatter_impl(x, g, w, offs, win, *, entries, dims, U, eb, n_rank_rows):
@@ -290,7 +293,7 @@ def gather_dw(x, env, g, offs, win, *, entries, dims, U, eb):
 @gather_dw_p.def_abstract_eval
 def _gather_dw_abs(x, env, g, offs, win, *, entries, dims, U, eb):
     n_paths = 1 + max(e[3] for e in entries)
-    return core.ShapedArray((n_paths, U), x.dtype)
+    return core.ShapedArray((n_paths, U), fused_tp.compute_dtype(x.dtype, g.dtype))
 
 
 def _gather_dw_impl(x, env, g, offs, win, *, entries, dims, U, eb):
@@ -358,7 +361,9 @@ def unweight_sh(t, wexp, offs, win, *, dim_to_irr, U, eb):
 
 @unweight_sh_p.def_abstract_eval
 def _unweight_sh_abs(t, wexp, offs, win, *, dim_to_irr, U, eb):
-    return core.ShapedArray((wexp.shape[0], len(dim_to_irr)), t.dtype)
+    return core.ShapedArray(
+        (wexp.shape[0], len(dim_to_irr)), fused_tp.compute_dtype(t.dtype)
+    )
 
 
 def _unweight_sh_impl(t, wexp, offs, win, *, dim_to_irr, U, eb):
@@ -394,7 +399,7 @@ def _unweight_sh_transpose(ct, t, wexp, offs, win, *, dim_to_irr, U, eb):
         gt = env_scatter(ct, wexp, offs, win, n_rank_rows=t.aval.shape[0], **kw)
         return (gt, None, None, None)
     assert ad.is_undefined_primal(wexp)
-    gw = unweight_w(t, ct, offs, win, **kw)
+    gw = unweight_w(t, ct, offs, win, out_dtype=wexp.aval.dtype, **kw)
     return (None, gw, None, None)
 
 
@@ -408,19 +413,24 @@ ad.primitive_transposes[unweight_sh_p] = _unweight_sh_transpose
 unweight_w_p = Primitive("allegro_fused_unweight_w")
 
 
-def unweight_w(t, sh, offs, win, *, dim_to_irr, U, eb):
-    return unweight_w_p.bind(t, sh, offs, win, dim_to_irr=tuple(dim_to_irr), U=U, eb=eb)
+def unweight_w(t, sh, offs, win, *, dim_to_irr, U, eb, out_dtype=None):
+    return unweight_w_p.bind(
+        t, sh, offs, win, dim_to_irr=tuple(dim_to_irr), U=U, eb=eb,
+        out_dtype=None if out_dtype is None else str(out_dtype),
+    )
 
 
 @unweight_w_p.def_abstract_eval
-def _unweight_w_abs(t, sh, offs, win, *, dim_to_irr, U, eb):
+def _unweight_w_abs(t, sh, offs, win, *, dim_to_irr, U, eb, out_dtype=None):
     n_irr = max(dim_to_irr) + 1
-    return core.ShapedArray((sh.shape[0], n_irr * U), t.dtype)
+    dt = fused_tp.compute_dtype(t.dtype) if out_dtype is None else jnp.dtype(out_dtype)
+    return core.ShapedArray((sh.shape[0], n_irr * U), dt)
 
 
-def _unweight_w_impl(t, sh, offs, win, *, dim_to_irr, U, eb):
+def _unweight_w_impl(t, sh, offs, win, *, dim_to_irr, U, eb, out_dtype=None):
     return fused_tp.gather_unweight_w_call(
-        t, t, sh, offs, win, dim_to_irr=dim_to_irr, U=U, eb=eb
+        t, t, sh, offs, win, dim_to_irr=dim_to_irr, U=U, eb=eb,
+        out_dtype=None if out_dtype is None else jnp.dtype(out_dtype),
     )
 
 
@@ -443,7 +453,7 @@ def _unweight_w_jvp(primals, tangents, **kw):
 ad.primitive_jvps[unweight_w_p] = _unweight_w_jvp
 
 
-def _unweight_w_transpose(ct, t, sh, offs, win, *, dim_to_irr, U, eb):
+def _unweight_w_transpose(ct, t, sh, offs, win, *, dim_to_irr, U, eb, out_dtype=None):
     if type(ct) is ad.Zero:
         return (_zero_or_none(t), _zero_or_none(sh), None, None)
     kw = dict(dim_to_irr=dim_to_irr, U=U, eb=eb)

@@ -53,6 +53,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 Entry = Tuple[int, int, int, int, float]  # (i, j, k, p, c)
 
+
+def compute_dtype(*dts):
+    """In-kernel math runs at least in f32 (mixed-precision storage mode:
+    per-edge arrays may live in HBM as bf16, but every product/accumulation
+    happens in f32 in VMEM — the bf16-storage/f32-compute policy)."""
+    out = jnp.float32
+    for dt in dts:
+        out = jnp.promote_types(out, dt)
+    return out
+
 # interpreter mode for CPU tests (set by tests/conftest via env or directly)
 INTERPRET = False
 
@@ -133,6 +143,8 @@ def _gather_windows(o, envA, envB, eb: int, dtype):
     gb = (ii == (oc - eb)).astype(dtype)
     dn = (((1,), (0,)), ((), ()))
     acc = jnp.promote_types(dtype, jnp.float32)
+    envA = envA.astype(dtype)
+    envB = envB.astype(dtype)
     return jax.lax.dot_general(
         ga, envA, dn, precision=_HIGHEST, preferred_element_type=acc
     ) + jax.lax.dot_general(gb, envB, dn, precision=_HIGHEST, preferred_element_type=acc)
@@ -152,6 +164,7 @@ def _scatter_windows(o, vals, eb: int, dtype):
     gbt = (ii == (orow - eb)).astype(dtype)
     dn = (((1,), (0,)), ((), ()))
     acc = jnp.promote_types(dtype, jnp.float32)
+    vals = vals.astype(dtype)
     sa = jax.lax.dot_general(
         gat, vals, dn, precision=_HIGHEST, preferred_element_type=acc
     )
@@ -181,6 +194,30 @@ def _tp_accumulate(x_cols, y_cols, w_ref, entries, U: int, d_out: int, out_dtype
     return acc
 
 
+def _tp_accumulate_T(x_rows, y_rows, wT, entries, U: int, d_out: int):
+    """Transposed accumulate: operands are ROW slices [U, eb] of feature-major
+    arrays — full 128-lane VPU utilization (the edge axis rides the lanes;
+    measured 2x over the [eb, U] column-slice form at U=32). ``wT`` [U, P].
+    Returns list of [U, eb] blocks (None where no entry lands)."""
+    acc = [None] * d_out
+    cur = (-1, -1)
+    t = None
+    for i, j, k, p, c in entries:
+        if (i, j) != cur:
+            t = x_rows(i) * y_rows(j)
+            cur = (i, j)
+        contrib = t * (c * wT[:, p][:, None])
+        acc[k] = contrib if acc[k] is None else acc[k] + contrib
+    return acc
+
+
+def _cat_T(acc, U: int, eb: int, dtype):
+    """Stack accumulate blocks [U, eb] into [d*U, eb] (zeros where None)."""
+    return jnp.concatenate(
+        [a if a is not None else jnp.zeros((U, eb), dtype) for a in acc], axis=0
+    )
+
+
 def _first_visit(win_ref):
     b = pl.program_id(0)
     prev = win_ref[jnp.maximum(b - 1, 0)]
@@ -197,23 +234,16 @@ def _gather_tp_kernel(
 ):
     d1, d2, d3 = dims
     o = offs_ref[0, :]
-    env_e = _gather_windows(o, envA_ref[...], envB_ref[...], eb, x_ref.dtype)
-    acc = _tp_accumulate(
-        lambda i: x_ref[:, i * U : (i + 1) * U],
-        lambda j: env_e[:, j * U : (j + 1) * U].astype(x_ref.dtype),
-        w_ref,
-        entries,
-        U,
-        d3,
-        out_ref.dtype,
+    cdt = compute_dtype(x_ref.dtype, envA_ref.dtype)
+    env_eT = _gather_windows(o, envA_ref[...], envB_ref[...], eb, cdt).T
+    xT = x_ref[...].astype(cdt).T
+    wT = w_ref[...].astype(cdt).T
+    acc = _tp_accumulate_T(
+        lambda i: xT[i * U : (i + 1) * U, :],
+        lambda j: env_eT[j * U : (j + 1) * U, :],
+        wT, entries, U, d3,
     )
-    for k in range(d3):
-        if acc[k] is None:
-            out_ref[:, k * U : (k + 1) * U] = jnp.zeros_like(
-                out_ref[:, k * U : (k + 1) * U]
-            )
-        else:
-            out_ref[:, k * U : (k + 1) * U] = acc[k].astype(out_ref.dtype)
+    out_ref[...] = _cat_T(acc, U, eb, cdt).T.astype(out_ref.dtype)
 
 
 def gather_tp_call(x, envA, envB, w, offs_p, win, *, entries, dims, U, eb):
@@ -253,24 +283,20 @@ def _tp_scatter_kernel(
 ):
     d1, d2, d3 = dims
     o = offs_ref[0, :]
+    cdt = compute_dtype(x_ref.dtype, g_ref.dtype)
+    xT = x_ref[...].astype(cdt).T
+    gT = g_ref[...].astype(cdt).T
+    wT = w_ref[...].astype(cdt).T
     # per-edge values indexed by the ATOM dim j: entries roles (i -> x, k -> g)
-    acc = _tp_accumulate(
-        lambda i: x_ref[:, i * U : (i + 1) * U],
-        lambda k: g_ref[:, k * U : (k + 1) * U],
-        w_ref,
+    acc = _tp_accumulate_T(
+        lambda i: xT[i * U : (i + 1) * U, :],
+        lambda k: gT[k * U : (k + 1) * U, :],
+        wT,
         tuple((i, k, j, p, c) for (i, j, k, p, c) in entries),
-        U,
-        d2,
-        outA_ref.dtype,
+        U, d2,
     )
-    vals = jnp.concatenate(
-        [
-            a if a is not None else jnp.zeros((o.shape[0], U), x_ref.dtype)
-            for a in acc
-        ],
-        axis=1,
-    )
-    sa, sb = _scatter_windows(o, vals, eb, x_ref.dtype)
+    vals = _cat_T(acc, U, eb, cdt).T  # [eb, d2*U]
+    sa, sb = _scatter_windows(o, vals, eb, cdt)
     first = _first_visit(win_ref)
 
     @pl.when(first)
@@ -303,7 +329,9 @@ def tp_scatter_call(x, g, w, offs_p, win, *, entries, dims, U, eb, n_rank_rows):
         ],
     )
     kern = functools.partial(_tp_scatter_kernel, entries=entries, dims=dims, U=U, eb=eb)
-    shape = jax.ShapeDtypeStruct((n_rank_rows, d2 * U), x.dtype)
+    # env cotangents accumulate across grid steps — keep them >= f32 even
+    # when the per-edge operands are stored bf16
+    shape = jax.ShapeDtypeStruct((n_rank_rows, d2 * U), compute_dtype(x.dtype, g.dtype))
     return pl.pallas_call(
         kern,
         out_shape=[shape, shape],
@@ -321,19 +349,20 @@ def _gather_dw_kernel(
     win_ref, offs_ref, x_ref, envA_ref, envB_ref, g_ref, out_ref, *, entries, dims, U, eb, n_paths
 ):
     o = offs_ref[0, :]
-    env_e = _gather_windows(o, envA_ref[...], envB_ref[...], eb, x_ref.dtype)
+    cdt = compute_dtype(x_ref.dtype, g_ref.dtype, envA_ref.dtype)
+    env_eT = _gather_windows(o, envA_ref[...], envB_ref[...], eb, cdt).T
+    xT = x_ref[...].astype(cdt).T
+    gT = g_ref[...].astype(cdt).T
     acc = [None] * n_paths
     cur = (-1, -1)
     t = None
     for i, j, k, p, c in entries:
         if (i, j) != cur:
-            t = x_ref[:, i * U : (i + 1) * U] * env_e[:, j * U : (j + 1) * U].astype(
-                x_ref.dtype
-            )
+            t = xT[i * U : (i + 1) * U, :] * env_eT[j * U : (j + 1) * U, :]
             cur = (i, j)
         red = c * jnp.sum(
-            t * g_ref[:, k * U : (k + 1) * U], axis=0, keepdims=True
-        )  # [1, U]
+            t * gT[k * U : (k + 1) * U, :], axis=1, keepdims=True
+        )  # [U, 1]
         acc[p] = red if acc[p] is None else acc[p] + red
 
     @pl.when(pl.program_id(0) == 0)
@@ -342,7 +371,7 @@ def _gather_dw_kernel(
 
     for p in range(n_paths):
         if acc[p] is not None:
-            out_ref[p, :] = out_ref[p, :] + acc[p][0].astype(out_ref.dtype)
+            out_ref[p, :] = out_ref[p, :] + acc[p][:, 0].astype(out_ref.dtype)
 
 
 def gather_dw_call(x, envA, envB, g, offs_p, win, *, entries, dims, U, eb):
@@ -369,7 +398,7 @@ def gather_dw_call(x, envA, envB, g, offs_p, win, *, entries, dims, U, eb):
     )
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((n_paths, U), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_paths, U), compute_dtype(x.dtype, g.dtype)),
         grid_spec=grid_spec,
         interpret=INTERPRET,
     )(win, offs_p, x, envA, envB, g)
@@ -386,12 +415,15 @@ def _env_scatter_kernel(
 ):
     o = offs_ref[0, :]
     d2 = len(dim_to_irr)
-    cols = []
+    cdt = compute_dtype(sh_ref.dtype, wexp_ref.dtype)
+    shT = sh_ref[...].astype(cdt).T        # [d2, eb]
+    wexpT = wexp_ref[...].astype(cdt).T    # [n_irr*U, eb]
+    rows = []
     for j in range(d2):
         irr = dim_to_irr[j]
-        cols.append(sh_ref[:, j : j + 1] * wexp_ref[:, irr * U : (irr + 1) * U])
-    vals = jnp.concatenate(cols, axis=1)  # [eb, d2*U]
-    sa, sb = _scatter_windows(o, vals, eb, vals.dtype)
+        rows.append(shT[j : j + 1, :] * wexpT[irr * U : (irr + 1) * U, :])
+    vals = jnp.concatenate(rows, axis=0).T  # [eb, d2*U]
+    sa, sb = _scatter_windows(o, vals, eb, cdt)
     first = _first_visit(win_ref)
 
     @pl.when(first)
@@ -423,7 +455,7 @@ def env_scatter_call(sh, wexp, offs_p, win, *, dim_to_irr, U, eb, n_rank_rows):
         ],
     )
     kern = functools.partial(_env_scatter_kernel, dim_to_irr=tuple(dim_to_irr), U=U, eb=eb)
-    shape = jax.ShapeDtypeStruct((n_rank_rows, d2 * U), sh.dtype)
+    shape = jax.ShapeDtypeStruct((n_rank_rows, d2 * U), compute_dtype(sh.dtype, wexp.dtype))
     return pl.pallas_call(
         kern,
         out_shape=[shape, shape],
@@ -443,16 +475,16 @@ def _gather_unweight_sh_kernel(
     win_ref, offs_ref, tA_ref, tB_ref, wexp_ref, out_ref, *, dim_to_irr, U, eb
 ):
     o = offs_ref[0, :]
-    t_e = _gather_windows(o, tA_ref[...], tB_ref[...], eb, wexp_ref.dtype)
+    cdt = compute_dtype(tA_ref.dtype, wexp_ref.dtype)
+    t_eT = _gather_windows(o, tA_ref[...], tB_ref[...], eb, cdt).T
+    wexpT = wexp_ref[...].astype(cdt).T
     d2 = len(dim_to_irr)
-    cols = []
+    rows = []
     for j in range(d2):
         irr = dim_to_irr[j]
-        prod = t_e[:, j * U : (j + 1) * U].astype(wexp_ref.dtype) * wexp_ref[
-            :, irr * U : (irr + 1) * U
-        ]
-        cols.append(jnp.sum(prod, axis=1, keepdims=True))  # [eb, 1]
-    out_ref[...] = jnp.concatenate(cols, axis=1).astype(out_ref.dtype)
+        prod = t_eT[j * U : (j + 1) * U, :] * wexpT[irr * U : (irr + 1) * U, :]
+        rows.append(jnp.sum(prod, axis=0, keepdims=True))  # [1, eb]
+    out_ref[...] = jnp.concatenate(rows, axis=0).T.astype(out_ref.dtype)
 
 
 def gather_unweight_sh_call(tA, tB, wexp, offs_p, win, *, dim_to_irr, U, eb):
@@ -477,7 +509,7 @@ def gather_unweight_sh_call(tA, tB, wexp, offs_p, win, *, dim_to_irr, U, eb):
     )
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((Ep, d2), wexp.dtype),
+        out_shape=jax.ShapeDtypeStruct((Ep, d2), compute_dtype(tA.dtype)),
         grid_spec=grid_spec,
         interpret=INTERPRET,
     )(win, offs_p, tA, tB, wexp)
@@ -494,8 +526,11 @@ def _bwd_fused_kernel(
     the chip is HBM-bound)."""
     d1, d2, d3 = dims
     o = offs_ref[0, :]
-    env_e = _gather_windows(o, envA_ref[...], envB_ref[...], eb, x_ref.dtype)
-    dtype = x_ref.dtype
+    dtype = compute_dtype(x_ref.dtype, g_ref.dtype, envA_ref.dtype)
+    env_eT = _gather_windows(o, envA_ref[...], envB_ref[...], eb, dtype).T
+    xT = x_ref[...].astype(dtype).T
+    gT = g_ref[...].astype(dtype).T
+    wT = w_ref[...].astype(dtype).T
 
     # dx[i] = Σ c w[p] g_k env_j  — cache g_k * env_j per (k, j) pair
     dx_acc = [None] * d1
@@ -503,15 +538,11 @@ def _bwd_fused_kernel(
     t = None
     for k, j, i, p, c in sorted((k, j, i, p, c) for (i, j, k, p, c) in entries):
         if (k, j) != cur:
-            t = g_ref[:, k * U : (k + 1) * U] * env_e[:, j * U : (j + 1) * U].astype(dtype)
+            t = gT[k * U : (k + 1) * U, :] * env_eT[j * U : (j + 1) * U, :]
             cur = (k, j)
-        contrib = t * (c * w_ref[p, :][None, :].astype(dtype))
+        contrib = t * (c * wT[:, p][:, None])
         dx_acc[i] = contrib if dx_acc[i] is None else dx_acc[i] + contrib
-    for i in range(d1):
-        blk = dx_ref[:, i * U : (i + 1) * U]
-        dx_ref[:, i * U : (i + 1) * U] = (
-            jnp.zeros_like(blk) if dx_acc[i] is None else dx_acc[i].astype(blk.dtype)
-        )
+    dx_ref[...] = _cat_T(dx_acc, U, eb, dtype).T.astype(dx_ref.dtype)
 
     # denv[j] = Σ c w[p] x_i g_k ;  dw[p] = Σ_e c x_i env_j g_k
     # — cache x_i * g_k per (i, k) pair, reuse it for both
@@ -521,18 +552,16 @@ def _bwd_fused_kernel(
     t = None
     for i, k, j, p, c in sorted((i, k, j, p, c) for (i, j, k, p, c) in entries):
         if (i, k) != cur:
-            t = x_ref[:, i * U : (i + 1) * U] * g_ref[:, k * U : (k + 1) * U]
+            t = xT[i * U : (i + 1) * U, :] * gT[k * U : (k + 1) * U, :]
             cur = (i, k)
-        contrib = t * (c * w_ref[p, :][None, :].astype(dtype))
+        contrib = t * (c * wT[:, p][:, None])
         denv_acc[j] = contrib if denv_acc[j] is None else denv_acc[j] + contrib
         red = c * jnp.sum(
-            t * env_e[:, j * U : (j + 1) * U].astype(dtype), axis=0, keepdims=True
-        )
+            t * env_eT[j * U : (j + 1) * U, :], axis=1, keepdims=True
+        )  # [U, 1]
         dw_acc[p] = red if dw_acc[p] is None else dw_acc[p] + red
 
-    vals = jnp.concatenate(
-        [a if a is not None else jnp.zeros((eb, U), dtype) for a in denv_acc], axis=1
-    )
+    vals = _cat_T(denv_acc, U, eb, dtype).T  # [eb, d2*U]
     sa, sb = _scatter_windows(o, vals, eb, dtype)
     first = _first_visit(win_ref)
 
@@ -550,7 +579,7 @@ def _bwd_fused_kernel(
 
     for p in range(n_paths):
         if dw_acc[p] is not None:
-            dw_ref[p, :] = dw_ref[p, :] + dw_acc[p][0].astype(dw_ref.dtype)
+            dw_ref[p, :] = dw_ref[p, :] + dw_acc[p][:, 0].astype(dw_ref.dtype)
 
 
 def bwd_fused_call(x, g, envA, envB, w, offs_p, win, *, entries, dims, U, eb, n_rank_rows):
@@ -581,14 +610,15 @@ def bwd_fused_call(x, g, envA, envB, w, offs_p, win, *, entries, dims, U, eb, n_
     kern = functools.partial(
         _bwd_fused_kernel, entries=tuple(entries), dims=dims, U=U, eb=eb, n_paths=n_paths
     )
-    env_shape = jax.ShapeDtypeStruct((n_rank_rows, d2 * U), x.dtype)
+    cdt = compute_dtype(x.dtype, g.dtype)
+    env_shape = jax.ShapeDtypeStruct((n_rank_rows, d2 * U), cdt)
     return pl.pallas_call(
         kern,
         out_shape=[
             jax.ShapeDtypeStruct((Ep, d1 * U), x.dtype),
             env_shape,
             env_shape,
-            jax.ShapeDtypeStruct((n_paths, U), x.dtype),
+            jax.ShapeDtypeStruct((n_paths, U), cdt),
         ],
         grid_spec=grid_spec,
         interpret=INTERPRET,
@@ -601,22 +631,24 @@ def _unweight_both_kernel(
 ):
     """dsh and dwexp in one pass (shared denv-window gather)."""
     o = offs_ref[0, :]
-    dtype = wexp_ref.dtype
-    t_e = _gather_windows(o, tA_ref[...], tB_ref[...], eb, dtype)
+    dtype = compute_dtype(tA_ref.dtype, wexp_ref.dtype, sh_ref.dtype)
+    t_eT = _gather_windows(o, tA_ref[...], tB_ref[...], eb, dtype).T
+    wexpT = wexp_ref[...].astype(dtype).T
+    shT = sh_ref[...].astype(dtype).T
     d2 = len(dim_to_irr)
     n_irr = max(dim_to_irr) + 1
-    dsh_cols = []
+    dsh_rows = []
     acc = [None] * n_irr
     for j in range(d2):
         irr = dim_to_irr[j]
-        tj = t_e[:, j * U : (j + 1) * U].astype(dtype)
-        dsh_cols.append(
-            jnp.sum(tj * wexp_ref[:, irr * U : (irr + 1) * U], axis=1, keepdims=True)
+        tj = t_eT[j * U : (j + 1) * U, :]
+        dsh_rows.append(
+            jnp.sum(tj * wexpT[irr * U : (irr + 1) * U, :], axis=0, keepdims=True)
         )
-        prod = tj * sh_ref[:, j : j + 1]
+        prod = tj * shT[j : j + 1, :]
         acc[irr] = prod if acc[irr] is None else acc[irr] + prod
-    dsh_ref[...] = jnp.concatenate(dsh_cols, axis=1).astype(dsh_ref.dtype)
-    dwexp_ref[...] = jnp.concatenate(acc, axis=1).astype(dwexp_ref.dtype)
+    dsh_ref[...] = jnp.concatenate(dsh_rows, axis=0).T.astype(dsh_ref.dtype)
+    dwexp_ref[...] = jnp.concatenate(acc, axis=0).T.astype(dwexp_ref.dtype)
 
 
 def unweight_both_call(tA, tB, sh, wexp, offs_p, win, *, dim_to_irr, U, eb):
@@ -646,7 +678,7 @@ def unweight_both_call(tA, tB, sh, wexp, offs_p, win, *, dim_to_irr, U, eb):
     return pl.pallas_call(
         kern,
         out_shape=[
-            jax.ShapeDtypeStruct((Ep, d2), wexp.dtype),
+            jax.ShapeDtypeStruct((Ep, d2), compute_dtype(tA.dtype)),
             jax.ShapeDtypeStruct((Ep, n_irr * U), wexp.dtype),
         ],
         grid_spec=grid_spec,
@@ -658,17 +690,21 @@ def _gather_unweight_w_kernel(
     win_ref, offs_ref, tA_ref, tB_ref, sh_ref, out_ref, *, dim_to_irr, U, eb
 ):
     o = offs_ref[0, :]
-    t_e = _gather_windows(o, tA_ref[...], tB_ref[...], eb, sh_ref.dtype)
+    cdt = compute_dtype(tA_ref.dtype, sh_ref.dtype)
+    t_eT = _gather_windows(o, tA_ref[...], tB_ref[...], eb, cdt).T
+    shT = sh_ref[...].astype(cdt).T
     n_irr = max(dim_to_irr) + 1
     acc = [None] * n_irr
     for j, irr in enumerate(dim_to_irr):
-        prod = t_e[:, j * U : (j + 1) * U].astype(sh_ref.dtype) * sh_ref[:, j : j + 1]
+        prod = t_eT[j * U : (j + 1) * U, :] * shT[j : j + 1, :]
         acc[irr] = prod if acc[irr] is None else acc[irr] + prod
-    out_ref[...] = jnp.concatenate(acc, axis=1).astype(out_ref.dtype)
+    out_ref[...] = jnp.concatenate(acc, axis=0).T.astype(out_ref.dtype)
 
 
-def gather_unweight_w_call(tA, tB, sh, offs_p, win, *, dim_to_irr, U, eb):
-    """→ dwexp [Ep, n_irr*U]."""
+def gather_unweight_w_call(tA, tB, sh, offs_p, win, *, dim_to_irr, U, eb, out_dtype=None):
+    """→ dwexp [Ep, n_irr*U]. ``out_dtype``: the wexp STORAGE dtype (not
+    inferable from the inputs in mixed-precision mode); defaults to the
+    compute dtype."""
     Ep = sh.shape[0]
     nb = Ep // eb
     d2 = len(dim_to_irr)
@@ -689,7 +725,9 @@ def gather_unweight_w_call(tA, tB, sh, offs_p, win, *, dim_to_irr, U, eb):
     )
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((Ep, n_irr * U), sh.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (Ep, n_irr * U), out_dtype or compute_dtype(tA.dtype, sh.dtype)
+        ),
         grid_spec=grid_spec,
         interpret=INTERPRET,
     )(win, offs_p, tA, tB, sh)

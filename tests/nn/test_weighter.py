@@ -14,16 +14,19 @@ IRR = Irreps("1x0e+1x1o+1x2e")
 
 
 def test_oracle_formula(rng):
-    """out[z,u,d] = attr[z,d] * w[z,u,irrep_of(d)] — direct check."""
+    """out[z,u,d] = attr[z,d] * w[z,irrep_of(d),u] — direct check.
+
+    Weight columns are irrep-major (``reshape(E, n_irr, mul)``), the layout
+    the fused kernels consume without a transpose."""
     E, mul = 7, 5
     wt = MakeWeightedChannels(IRR, mul, weight_individual_irreps=True)
     attr = rng.randn(E, IRR.dim)
     w = rng.randn(E, wt.weight_numel)
     out = np.asarray(wt(jnp.asarray(attr), jnp.asarray(w)))
-    w3 = w.reshape(E, mul, len(IRR))
+    w3 = w.reshape(E, len(IRR), mul)
     expected = np.zeros((E, mul, IRR.dim))
     for k, sl in enumerate(IRR.slices()):
-        expected[:, :, sl] = attr[:, None, sl] * w3[:, :, k : k + 1]
+        expected[:, :, sl] = attr[:, None, sl] * w3[:, k, :, None]
     np.testing.assert_allclose(out, expected, atol=1e-12)
 
 
