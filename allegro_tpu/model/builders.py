@@ -272,7 +272,11 @@ def FullAllegroEnergyModel(
         (
             "tensor_embed",
             TwoBodySphericalHarmonicTensorEmbed(
-                irreps_sh=str(irreps_sh), mul=num_tensor_features, param_dtype=dtype
+                irreps_sh=str(irreps_sh), mul=num_tensor_features, param_dtype=dtype,
+                # NOTE: "flat_dim_major" was measured SLOWER on v5e than
+                # letting XLA fuse the [E, mul, dim] build + entry transpose
+                # (repeat-based lane expansion beats no one); kept as an option
+                features_layout="strided",
             ),
         ),
         (

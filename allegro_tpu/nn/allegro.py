@@ -190,11 +190,13 @@ class AllegroLayers(nn.Module):
         centers = data[keys.EDGE_INDEX][0]
         sh = data[keys.EDGE_ATTRS].astype(self.param_dtype)
         features = data[keys.EDGE_FEATURES]
-        E, U = features.shape[0], features.shape[1]
-        if self._input_dims is not None:
+        E, U = features.shape[0], self.num_tensor_features
+        flat_in = features.ndim == 2  # already [E, d*U] (flat_dim_major embed)
+        if self._input_dims is not None and not flat_in:
             features = features[:, :, jnp.asarray(self._input_dims)]
         fused = self.tp_kernel_backend in ("fused", "fused_infer")
         packed = self.tp_kernel_backend == "pallas"
+        assert not (flat_in and not fused), "flat features need a fused backend"
         if fused:
             # Fused kernel layout: tensor track is flat [Ep, d*U] (basis-dim-
             # major column blocks of U lanes). Requires center-sorted edges
@@ -205,15 +207,26 @@ class AllegroLayers(nn.Module):
             eb = FUSED_BLOCK_EDGES
             Ep = -(-E // eb) * eb
             if Ep != E:
-                features = jnp.pad(features, ((0, Ep - E), (0, 0), (0, 0)))
+                pad_spec = ((0, Ep - E),) + ((0, 0),) * (features.ndim - 1)
+                features = jnp.pad(features, pad_spec)
                 sh_p = jnp.pad(sh, ((0, Ep - E), (0, 0)))
                 centers_p = jnp.pad(
                     centers, (0, Ep - E), constant_values=n_atoms
                 )
             else:
                 sh_p, centers_p = sh, centers
-            d1 = features.shape[-1]
-            features = features.transpose(0, 2, 1).reshape(Ep, d1 * U)
+            if flat_in:
+                # already flat dim-major; apply ladder-pruning (if any) as a
+                # static dim-block column selection
+                if self._input_dims is not None:
+                    blocks = [
+                        features[:, d * U : (d + 1) * U]
+                        for d in self._input_dims
+                    ]
+                    features = jnp.concatenate(blocks, axis=1)
+            else:
+                d1 = features.shape[-1]
+                features = features.transpose(0, 2, 1).reshape(Ep, d1 * U)
             if self.tensor_dtype is not None:
                 features = features.astype(jnp.dtype(self.tensor_dtype))
             win, offs = make_block_plan(centers_p, eb)

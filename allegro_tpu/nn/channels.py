@@ -68,6 +68,25 @@ class MakeWeightedChannels:
         sh_rep = jnp.tile(edge_attr, (1, self.mul_out))  # [E, mul*dim]
         return (sh_rep * w_full).reshape(E, self.mul_out, dim)
 
+    def flat_dim_major(self, edge_attr, weights):
+        """Same product, built directly in the FLAT dim-major layout
+        ``[E, dim*mul]`` the fused kernels consume — no [E, mul, dim]
+        intermediate and no transpose on the hot path."""
+        E = edge_attr.shape[0]
+        dim = self.irreps_in.dim
+        sh_rep = jnp.repeat(edge_attr, self.mul_out, axis=1)  # [E, dim*mul]
+        if self.weight_individual_irreps:
+            w = weights.reshape(E, len(self.irreps_in), self.mul_out)
+            reps = np.array(
+                [sl.stop - sl.start for sl in self.irreps_in.slices()], np.int64
+            )
+            w_full = jnp.repeat(w, reps, axis=1, total_repeat_length=dim).reshape(
+                E, dim * self.mul_out
+            )
+        else:
+            w_full = jnp.tile(weights.reshape(E, self.mul_out), (1, dim))
+        return sh_rep * w_full
+
     # static map: basis dim -> irrep index (for the dim-major construction)
     def _dim_to_irrep(self):
         out = []

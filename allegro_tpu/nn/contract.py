@@ -29,6 +29,7 @@ modifiers while keeping this module's parameter pytree unchanged.
 from __future__ import annotations
 
 import math
+import os
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -276,6 +277,14 @@ class Contracter(nn.Module):
         from ..ops.fused_primitives import fused_layer, fused_layer_infer
 
         P, d1, d2, d3 = self._w3j.shape
+        if os.environ.get("ALLEGRO_TP_BYPASS") == "1":
+            # profiling ablation: shape-preserving cheap stand-in for the TP
+            # kernels (keeps every surrounding op + AD structure alive)
+            U = self.mul
+            q = min(d1, d3)
+            stub = jnp.zeros((x.shape[0], d3 * U), x.dtype)
+            stub = stub.at[:, : q * U].set(x[:, : q * U])
+            return stub * jnp.mean(wexp) * jnp.mean(sh)
         w = self.path_weights.astype(x.dtype)
         if self.path_channel_coupling:
             wk = w.T  # (mul, P) -> [P, U]

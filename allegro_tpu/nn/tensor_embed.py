@@ -31,6 +31,10 @@ class TwoBodySphericalHarmonicTensorEmbed(nn.Module):
     irreps_sh: str  # e.g. "1x0e+1x1o+1x2e"
     mul: int  # num_tensor_features
     param_dtype: jnp.dtype = jnp.float32
+    # "strided": EDGE_FEATURES as [E, mul, dim] (einsum/pallas backends);
+    # "flat_dim_major": [E, dim*mul] — the fused kernels' layout, built
+    # directly (no transpose of the biggest per-edge array on the hot path)
+    features_layout: str = "strided"
 
     @nn.compact
     def __call__(self, data: Dict) -> Dict:
@@ -48,5 +52,8 @@ class TwoBodySphericalHarmonicTensorEmbed(nn.Module):
         out[keys.EDGE_ATTRS] = sh
         # padded edges: weights are exactly 0 (zero embedding through a
         # bias-free linear), so features vanish there
-        out[keys.EDGE_FEATURES] = weighter(sh, weights)
+        if self.features_layout == "flat_dim_major":
+            out[keys.EDGE_FEATURES] = weighter.flat_dim_major(sh, weights)
+        else:
+            out[keys.EDGE_FEATURES] = weighter(sh, weights)
         return out

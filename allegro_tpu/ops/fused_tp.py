@@ -130,24 +130,58 @@ def combine_scatter_outputs(dA, dB, win, eb: int):
 # ---------------------------------------------------------------------------
 
 
+_DN_ROWS = (((1,), (0,)), ((), ()))
+
+
+def _split3_bf16(x):
+    """Exact 3-term bf16 decomposition of f32: x == x0 + x1 + x2 (24 mantissa
+    bits covered, hierarchically non-overlapping; the HIGHEST-precision MXU
+    algorithm uses the same split with 6 products — a one-hot factor needs
+    only the data side split, so 3 bf16 passes reproduce the f32 result
+    EXACTLY at half the cost)."""
+    x0 = x.astype(jnp.bfloat16)
+    r1 = x - x0.astype(jnp.float32)
+    x1 = r1.astype(jnp.bfloat16)
+    x2 = (r1 - x1.astype(jnp.float32)).astype(jnp.bfloat16)
+    return x0, x1, x2
+
+
+def _onehot_dot(g_bool, data, dtype):
+    """g_bool [m, n] one-hot rows (bool) @ data [n, C] — exact, fast.
+
+    f32 data: 3 bf16 passes (see _split3_bf16). Other dtypes (f64 tests,
+    bf16 storage): a single pass at HIGHEST.
+    """
+    data = data.astype(dtype)
+    if dtype == jnp.float32:
+        g = g_bool.astype(jnp.bfloat16)
+        parts = _split3_bf16(data)
+        out = None
+        for part in parts:
+            t = jax.lax.dot_general(
+                g, part, _DN_ROWS, preferred_element_type=jnp.float32
+            )
+            out = t if out is None else out + t
+        return out
+    acc = jnp.promote_types(dtype, jnp.float32)
+    return jax.lax.dot_general(
+        g_bool.astype(dtype), data, _DN_ROWS, precision=_HIGHEST,
+        preferred_element_type=acc,
+    )
+
+
 def _gather_windows(o, envA, envB, eb: int, dtype):
     """One-hot gather of per-edge environment rows from the two window tiles.
 
     o [eb] int32 in [0, 2*eb); envA/envB [eb, C]. Exact: each G row has at
     most one nonzero (1.0), so MXU accumulation order cannot change the value;
-    HIGHEST precision keeps f32 mantissas intact through the bf16-based MXU.
+    the split-matmul keeps f32 mantissas intact through the bf16-based MXU.
     """
     ii = jax.lax.broadcasted_iota(jnp.int32, (o.shape[0], eb), 1)
     oc = o[:, None]
-    ga = (ii == oc).astype(dtype)
-    gb = (ii == (oc - eb)).astype(dtype)
-    dn = (((1,), (0,)), ((), ()))
-    acc = jnp.promote_types(dtype, jnp.float32)
-    envA = envA.astype(dtype)
-    envB = envB.astype(dtype)
-    return jax.lax.dot_general(
-        ga, envA, dn, precision=_HIGHEST, preferred_element_type=acc
-    ) + jax.lax.dot_general(gb, envB, dn, precision=_HIGHEST, preferred_element_type=acc)
+    return _onehot_dot(ii == oc, envA, dtype) + _onehot_dot(
+        ii == (oc - eb), envB, dtype
+    )
 
 
 def _scatter_windows(o, vals, eb: int, dtype):
@@ -160,17 +194,8 @@ def _scatter_windows(o, vals, eb: int, dtype):
     """
     ii = jax.lax.broadcasted_iota(jnp.int32, (eb, o.shape[0]), 0)
     orow = o[None, :]
-    gat = (ii == orow).astype(dtype)
-    gbt = (ii == (orow - eb)).astype(dtype)
-    dn = (((1,), (0,)), ((), ()))
-    acc = jnp.promote_types(dtype, jnp.float32)
-    vals = vals.astype(dtype)
-    sa = jax.lax.dot_general(
-        gat, vals, dn, precision=_HIGHEST, preferred_element_type=acc
-    )
-    sb = jax.lax.dot_general(
-        gbt, vals, dn, precision=_HIGHEST, preferred_element_type=acc
-    )
+    sa = _onehot_dot(ii == orow, vals, dtype)
+    sb = _onehot_dot(ii == (orow - eb), vals, dtype)
     return sa, sb
 
 
