@@ -71,6 +71,8 @@ def _flagship_model(avg_num_neighbors, backend, r_max=4.0, remat=False,
 
     if tensor_dtype is None:
         tensor_dtype = os.environ.get("BENCH_TENSOR_DTYPE") or None
+        if tensor_dtype in ("none", "float32"):
+            tensor_dtype = None
     return AllegroModel(
         **_FLAGSHIP,
         avg_num_neighbors=avg_num_neighbors,
@@ -78,6 +80,9 @@ def _flagship_model(avg_num_neighbors, backend, r_max=4.0, remat=False,
         tp_kernel_backend=backend,
         remat=remat,
         tensor_dtype=tensor_dtype,
+        # memory-lean layout past the remat threshold (avoids a 2.6 GB
+        # features-cotangent relayout copy at >2M edges)
+        features_layout="flat_dim_major" if remat else None,
     )
 
 
@@ -118,11 +123,23 @@ def run_benchmark(n_atoms=4096, r_max=4.0, iters=20, warmup=3, verbose=False, ba
         backend = "fused_infer"
     remat = os.environ.get("BENCH_REMAT", "auto")
     if remat == "auto":
-        # activation cotangents dominate beyond ~40k atoms on a 16 GB chip
+        # activation cotangents dominate beyond ~40k atoms on a 16 GB chip;
+        # past that, per-layer remat + whole-energy checkpoint (+ bf16
+        # tensor storage via BENCH_TENSOR_DTYPE) bound the residual set
         remat_flag = n_atoms > 40000
     else:
         remat_flag = remat == "1"
-    model = _flagship_model(n_edges / n_atoms, backend, r_max, remat=remat_flag)
+    # past the single-chip f32 ceiling (~60k atoms / 16 GB), bf16 tensor-track
+    # storage is what fits the 100k-atom north-star system; keep f32-exact
+    # below it (override either way with BENCH_TENSOR_DTYPE)
+    tensor_dtype = "bfloat16" if (n_atoms > 60000 and "BENCH_TENSOR_DTYPE" not in os.environ) else None
+    model = _flagship_model(
+        n_edges / n_atoms, backend, r_max, remat=remat_flag, tensor_dtype=tensor_dtype
+    )
+    if remat_flag:
+        import dataclasses as _dc
+
+        model = _dc.replace(model, checkpoint_energy=True)
     params = model.init(0, batch)
 
     # NOTE timing methodology: each step's input depends on the previous
@@ -168,6 +185,7 @@ def run_benchmark(n_atoms=4096, r_max=4.0, iters=20, warmup=3, verbose=False, ba
             "num_tensor_features": 32,
             "backend": backend,
             "remat": bool(remat_flag),
+            "tensor_dtype": tensor_dtype or "float32",
             "step_ms": round(dt * 1e3, 3),
             "device": str(jax.devices()[0]),
         },

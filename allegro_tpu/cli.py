@@ -107,6 +107,7 @@ def run_train(config: Dict[str, Any], workdir: str) -> str:
         loss=EnergyForceLoss(tcfg.pop("loss_coeffs", None)),
         ema_decay=float(tcfg.pop("ema_decay", 0.999)),
         log_every=int(tcfg.pop("log_every", 10)),
+        profile_dir=tcfg.pop("profile_dir", None),
     )
     seed = int(cfg.get("model", {}).get("seed", 0))
     state = trainer.init_state(seed, next(iter(loaders["train"])))

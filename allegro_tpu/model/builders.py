@@ -98,6 +98,10 @@ class Model:
     model_dtype: jnp.dtype
     config: Dict[str, Any]
     has_derivatives: bool = True
+    # rematerialize the whole energy evaluation inside the force VJP
+    # (jax.nn.grad checkpoint_energy) — with per-layer remat this is what
+    # fits 100k-atom force calls on one 16 GB chip
+    checkpoint_energy: bool = False
     # full builder kwargs — lets model modifiers rebuild with changed fields
     # while the parameter pytree stays identical (reference analogue:
     # replace_submodules + load_state_dict, _contract.py:277,305-306)
@@ -113,7 +117,9 @@ class Model:
 
     def apply_with_derivatives(self, params, data: Dict) -> Dict:
         """Forward + forces (and stress/virial when a cell is present)."""
-        return force_stress_wrapper(self.module.apply)(params, data)
+        return force_stress_wrapper(
+            self.module.apply, checkpoint_energy=self.checkpoint_energy
+        )(params, data)
 
     def __call__(self, params, data: Dict) -> Dict:
         if self.has_derivatives:
@@ -216,6 +222,13 @@ def FullAllegroEnergyModel(
     # backends; f32 in-kernel compute) — ~2x less HBM traffic + 2x atom
     # ceiling at ~1e-4-level force error. None = model_dtype (exact).
     tensor_dtype: Optional[str] = None,
+    # remat the whole energy evaluation in the force VJP (see Model)
+    checkpoint_energy: bool = False,
+    # EDGE_FEATURES layout from the tensor embed: "strided" ([E, mul, dim],
+    # fastest at bench scale — XLA fuses the entry transpose) or
+    # "flat_dim_major" ([E, dim*mul] — avoids the transposed 2.6 GB
+    # features-cotangent relayout copy at >2M edges; the 100k-atom setting)
+    features_layout: Optional[str] = None,
     # reference default allow_tf32=false (configs/tutorial.yaml:166-167):
     # full-f32 matmuls everywhere in the model. True = fast MXU semantics.
     allow_tf32: bool = False,
@@ -273,10 +286,12 @@ def FullAllegroEnergyModel(
             "tensor_embed",
             TwoBodySphericalHarmonicTensorEmbed(
                 irreps_sh=str(irreps_sh), mul=num_tensor_features, param_dtype=dtype,
-                # NOTE: "flat_dim_major" was measured SLOWER on v5e than
-                # letting XLA fuse the [E, mul, dim] build + entry transpose
-                # (repeat-based lane expansion beats no one); kept as an option
-                features_layout="strided",
+                # NOTE: "flat_dim_major" measured ~8% slower on v5e at bench
+                # scale (XLA already fuses the [E, mul, dim] build + entry
+                # transpose) but avoids a 2.6 GB cotangent relayout at 100k
+                # atoms — selectable per scale
+                features_layout=features_layout or "strided",
+                tensor_dtype=tensor_dtype,
             ),
         ),
         (
@@ -363,6 +378,7 @@ def FullAllegroEnergyModel(
         model_dtype=dtype,
         config=config,
         has_derivatives=False,
+        checkpoint_energy=bool(checkpoint_energy),
         builder_kwargs=_kwargs,
     )
 

@@ -35,6 +35,9 @@ class TwoBodySphericalHarmonicTensorEmbed(nn.Module):
     # "flat_dim_major": [E, dim*mul] — the fused kernels' layout, built
     # directly (no transpose of the biggest per-edge array on the hot path)
     features_layout: str = "strided"
+    # storage dtype of EDGE_FEATURES (mixed-precision mode): cast INSIDE the
+    # producing elementwise op so no f32 [E, dim*mul] array ever materializes
+    tensor_dtype: str | None = None
 
     @nn.compact
     def __call__(self, data: Dict) -> Dict:
@@ -53,7 +56,20 @@ class TwoBodySphericalHarmonicTensorEmbed(nn.Module):
         # padded edges: weights are exactly 0 (zero embedding through a
         # bias-free linear), so features vanish there
         if self.features_layout == "flat_dim_major":
-            out[keys.EDGE_FEATURES] = weighter.flat_dim_major(sh, weights)
+            build = weighter.flat_dim_major
         else:
-            out[keys.EDGE_FEATURES] = weighter(sh, weights)
+            build = weighter
+
+        def _features(sh_, weights_):
+            feats = build(sh_, weights_)
+            if self.tensor_dtype is not None:
+                feats = feats.astype(jnp.dtype(self.tensor_dtype))
+            return feats
+
+        # checkpoint: the product's VJP would otherwise keep BOTH expanded
+        # [E, dim*mul] f32 operands alive as residuals (2 x 3.5 GB at 2.4M
+        # edges) — recompute them from the small sh/weights instead
+        import jax
+
+        out[keys.EDGE_FEATURES] = jax.checkpoint(_features)(sh, weights)
         return out

@@ -153,7 +153,10 @@ def _onehot_dot(g_bool, data, dtype):
     bf16 storage): a single pass at HIGHEST.
     """
     data = data.astype(dtype)
-    if dtype == jnp.float32:
+    # interpret mode (CPU tests): a single HIGHEST pass — the bf16 split is
+    # pointlessly slow under emulation and interpret's bf16 dot semantics
+    # differ from the MXU's exact f32 accumulation
+    if dtype == jnp.float32 and not INTERPRET:
         g = g_bool.astype(jnp.bfloat16)
         parts = _split3_bf16(data)
         out = None
@@ -441,7 +444,8 @@ def _env_scatter_kernel(
     o = offs_ref[0, :]
     d2 = len(dim_to_irr)
     cdt = compute_dtype(sh_ref.dtype, wexp_ref.dtype)
-    shT = sh_ref[...].astype(cdt).T        # [d2, eb]
+    shT = sh_ref[...].astype(cdt)          # [d2, eb] (operand pre-transposed:
+    # a [Ep, 9] Mosaic operand would be lane-padded 14x in HBM)
     wexpT = wexp_ref[...].astype(cdt).T    # [n_irr*U, eb]
     rows = []
     for j in range(d2):
@@ -466,12 +470,13 @@ def env_scatter_call(sh, wexp, offs_p, win, *, dim_to_irr, U, eb, n_rank_rows):
     nb = Ep // eb
     d2 = len(dim_to_irr)
     n_irr = max(dim_to_irr) + 1
+    sh = sh.T  # [d2, Ep]: narrow arrays enter kernels feature-major
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((8, eb), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((eb, d2), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d2, eb), lambda b, w_: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((eb, n_irr * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -509,7 +514,7 @@ def _gather_unweight_sh_kernel(
         irr = dim_to_irr[j]
         prod = t_eT[j * U : (j + 1) * U, :] * wexpT[irr * U : (irr + 1) * U, :]
         rows.append(jnp.sum(prod, axis=0, keepdims=True))  # [1, eb]
-    out_ref[...] = jnp.concatenate(rows, axis=0).T.astype(out_ref.dtype)
+    out_ref[...] = jnp.concatenate(rows, axis=0).astype(out_ref.dtype)
 
 
 def gather_unweight_sh_call(tA, tB, wexp, offs_p, win, *, dim_to_irr, U, eb):
@@ -527,17 +532,18 @@ def gather_unweight_sh_call(tA, tB, wexp, offs_p, win, *, dim_to_irr, U, eb):
             pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((eb, n_irr * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((eb, d2), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((d2, eb), lambda b, w_: (0, b), memory_space=pltpu.VMEM),
     )
     kern = functools.partial(
         _gather_unweight_sh_kernel, dim_to_irr=tuple(dim_to_irr), U=U, eb=eb
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((Ep, d2), compute_dtype(tA.dtype)),
+        out_shape=jax.ShapeDtypeStruct((d2, Ep), compute_dtype(tA.dtype)),
         grid_spec=grid_spec,
         interpret=INTERPRET,
     )(win, offs_p, tA, tB, wexp)
+    return out.T
 
 
 def _bwd_fused_kernel(
@@ -659,7 +665,7 @@ def _unweight_both_kernel(
     dtype = compute_dtype(tA_ref.dtype, wexp_ref.dtype, sh_ref.dtype)
     t_eT = _gather_windows(o, tA_ref[...], tB_ref[...], eb, dtype).T
     wexpT = wexp_ref[...].astype(dtype).T
-    shT = sh_ref[...].astype(dtype).T
+    shT = sh_ref[...].astype(dtype)  # operand pre-transposed [d2, eb]
     d2 = len(dim_to_irr)
     n_irr = max(dim_to_irr) + 1
     dsh_rows = []
@@ -672,7 +678,7 @@ def _unweight_both_kernel(
         )
         prod = tj * shT[j : j + 1, :]
         acc[irr] = prod if acc[irr] is None else acc[irr] + prod
-    dsh_ref[...] = jnp.concatenate(dsh_rows, axis=0).T.astype(dsh_ref.dtype)
+    dsh_ref[...] = jnp.concatenate(dsh_rows, axis=0).astype(dsh_ref.dtype)
     dwexp_ref[...] = jnp.concatenate(acc, axis=0).T.astype(dwexp_ref.dtype)
 
 
@@ -682,6 +688,7 @@ def unweight_both_call(tA, tB, sh, wexp, offs_p, win, *, dim_to_irr, U, eb):
     nb = Ep // eb
     d2 = len(dim_to_irr)
     n_irr = max(dim_to_irr) + 1
+    sh = sh.T  # [d2, Ep]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
@@ -689,26 +696,27 @@ def unweight_both_call(tA, tB, sh, wexp, offs_p, win, *, dim_to_irr, U, eb):
             pl.BlockSpec((8, eb), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((eb, d2), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d2, eb), lambda b, w_: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((eb, n_irr * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((eb, d2), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d2, eb), lambda b, w_: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((eb, n_irr * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
         ],
     )
     kern = functools.partial(
         _unweight_both_kernel, dim_to_irr=tuple(dim_to_irr), U=U, eb=eb
     )
-    return pl.pallas_call(
+    dshT, dwexp = pl.pallas_call(
         kern,
         out_shape=[
-            jax.ShapeDtypeStruct((Ep, d2), compute_dtype(tA.dtype)),
+            jax.ShapeDtypeStruct((d2, Ep), compute_dtype(tA.dtype)),
             jax.ShapeDtypeStruct((Ep, n_irr * U), wexp.dtype),
         ],
         grid_spec=grid_spec,
         interpret=INTERPRET,
     )(win, offs_p, tA, tB, sh, wexp)
+    return dshT.T, dwexp
 
 
 def _gather_unweight_w_kernel(
@@ -717,7 +725,7 @@ def _gather_unweight_w_kernel(
     o = offs_ref[0, :]
     cdt = compute_dtype(tA_ref.dtype, sh_ref.dtype)
     t_eT = _gather_windows(o, tA_ref[...], tB_ref[...], eb, cdt).T
-    shT = sh_ref[...].astype(cdt).T
+    shT = sh_ref[...].astype(cdt)  # operand pre-transposed [d2, eb]
     n_irr = max(dim_to_irr) + 1
     acc = [None] * n_irr
     for j, irr in enumerate(dim_to_irr):
@@ -734,6 +742,7 @@ def gather_unweight_w_call(tA, tB, sh, offs_p, win, *, dim_to_irr, U, eb, out_dt
     nb = Ep // eb
     d2 = len(dim_to_irr)
     n_irr = max(dim_to_irr) + 1
+    sh = sh.T  # [d2, Ep]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
@@ -741,7 +750,7 @@ def gather_unweight_w_call(tA, tB, sh, offs_p, win, *, dim_to_irr, U, eb, out_dt
             pl.BlockSpec((8, eb), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((eb, d2), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d2, eb), lambda b, w_: (0, b), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((eb, n_irr * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
     )

@@ -160,7 +160,11 @@ class SlabDecomposition:
         local_edges = []
         max_edges = 1
         pbc_local = pbc.copy()
-        pbc_local[self.axis] = False  # ghosts open the slab axis
+        if D > 1:
+            # ghosts open the slab axis (the seam shifts re-close the wrap)
+            pbc_local[self.axis] = False
+        # D == 1: no ghosts exist — keep the axis periodic so wrap edges
+        # survive (a single-domain decomposition must equal the plain model)
         for d in range(D):
             left, right = (d - 1) % D, (d + 1) % D
             if D > 1:

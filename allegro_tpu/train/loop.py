@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Any, Callable, Dict, Iterable, List, Optional
+from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -67,6 +67,8 @@ class Trainer:
         mesh: Optional[jax.sharding.Mesh] = None,
         log_every: int = 10,
         logger: Callable[[str], None] = print,
+        profile_dir: Optional[str] = None,
+        profile_steps: Tuple[int, int] = (5, 10),
     ):
         self.model = model
         self.optimizer = optimizer or optax.adam(learning_rate)
@@ -80,6 +82,10 @@ class Trainer:
         self.n_dev = int(np.prod(mesh.devices.shape))
         self.log_every = log_every
         self.logger = logger
+        # jax.profiler trace of steps [profile_steps) written to profile_dir
+        # (TensorBoard/xprof-viewable) — SURVEY.md §5 tracing subsystem
+        self.profile_dir = profile_dir
+        self.profile_steps = tuple(profile_steps)
         self._step_fn = None
         self._eval_fn = None
         self.history: List[Dict[str, float]] = []
@@ -192,10 +198,15 @@ class Trainer:
             t0 = time.time()
             losses = []
             for batch in self._device_batches(iter(train_loader)):
+                if self.profile_dir and state.step == self.profile_steps[0]:
+                    jax.profiler.start_trace(self.profile_dir)
                 state.params, state.ema_params, state.opt_state, loss, terms = (
                     self._step_fn(state.params, state.ema_params, state.opt_state, batch)
                 )
                 state.step += 1
+                if self.profile_dir and state.step == self.profile_steps[1]:
+                    jax.block_until_ready(loss)
+                    jax.profiler.stop_trace()
                 losses.append(float(loss))
                 if state.step % self.log_every == 0:
                     self.logger(

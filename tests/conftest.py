@@ -22,6 +22,17 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# A TPU-tunnel sitecustomize (loaded via PYTHONPATH before this file) may PIN
+# jax_platforms programmatically at interpreter startup — the JAX_PLATFORMS
+# env var above cannot override a prior config.update. Re-pin to CPU here,
+# before any backend initializes, so the 8-device virtual mesh is real
+# (otherwise every test silently runs on the 1-chip TPU tunnel: minutes-long
+# remote compiles AND a 1-device mesh that voids all multi-device coverage).
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
 # Persistent XLA compilation cache: the test suite is compile-bound on a
 # small CI host (every jitted model/MD block is a fresh XLA compile).
 # Caching compiles across runs turns re-verification from hours into minutes.
