@@ -36,6 +36,12 @@ EDGE_SCALARS = "edge_scalars"         # tuple of [E, S] blocks — scalar track
                                       # consumers take pieces directly)
 EDGE_ENERGY = "edge_energy"           # [E, 1]
 
+# --- precomputed per-neighbor-list statics (position-INdependent; attached
+# by Model.precompute_statics once per neighbor list so the jitted force
+# step doesn't re-derive them every MD step) ---
+FUSED_OFFS = "fused_offs"             # [NB*8, eb] int32 — fused-kernel block plan
+FUSED_WIN = "fused_win"               # [NB] int32 — fused-kernel window indices
+
 # --- per-frame ---
 CELL = "cell"                         # [F, 3, 3] float (rows are lattice vectors)
 PBC = "pbc"                           # [F, 3] bool

@@ -195,6 +195,29 @@ class Simulation:
             keys.EDGE_CELL_SHIFT: sh.reshape(D, bucket // D, 3),
             keys.EDGE_MASK: mask.reshape(D, bucket // D),
         }
+        # position-independent per-edge statics: recomputed only here (at
+        # re-neighboring), not inside every jitted MD step
+        num_types = len(self.model.config["type_names"])
+        ct = self.types[np.clip(eidx[0], 0, self.n_atoms - 1)]
+        nt = self.types[np.clip(eidx[1], 0, self.n_atoms - 1)]
+        static[keys.EDGE_TYPE] = (
+            (ct * num_types + nt).astype(np.int32).reshape(D, bucket // D)
+        )
+        backend = (self.model.builder_kwargs or {}).get("tp_kernel_backend")
+        if backend in ("fused", "fused_infer"):
+            from ..nn.allegro import FUSED_BLOCK_EDGES
+            from ..ops.fused_tp import make_block_plan_np
+
+            centers_sh = eidx[0].reshape(D, bucket // D)
+            wins, offss = [], []
+            for d in range(D):
+                w, o, _ = make_block_plan_np(
+                    centers_sh[d], FUSED_BLOCK_EDGES, self.n_atoms
+                )
+                wins.append(w)
+                offss.append(o)
+            static[keys.FUSED_WIN] = np.stack(wins)
+            static[keys.FUSED_OFFS] = np.stack(offss)
         if self.cell is not None:
             static[keys.CELL] = np.broadcast_to(self.cell[None], (1, 3, 3))
             static[keys.PBC] = self.pbc[None]
@@ -230,6 +253,9 @@ class Simulation:
                 if keys.CELL in shard:
                     data[keys.CELL] = shard[keys.CELL]
                     data[keys.PBC] = shard[keys.PBC]
+                for k in (keys.EDGE_TYPE, keys.FUSED_OFFS, keys.FUSED_WIN):
+                    if k in shard:
+                        data[k] = shard[k]
                 out = model.apply(params, data)
                 return out[keys.TOTAL_ENERGY].sum()
 

@@ -111,6 +111,41 @@ class Model:
         data = {k: jnp.asarray(v) for k, v in example_data.items()}
         return self.module.init(jax.random.PRNGKey(seed), data)
 
+    def precompute_statics(self, data: Dict) -> Dict:
+        """Attach position-INdependent per-edge arrays to a batch, on host.
+
+        These depend only on the neighbor list (edge_index + atom types), so
+        recomputing them inside every jitted force call wastes step time on
+        TPU row gathers (~2 ms/step at 100k edges). Call once per neighbor
+        list (MD re-neighboring does this automatically); the model falls
+        back to in-graph computation when the keys are absent. Attaches:
+
+        - ``EDGE_TYPE`` = center_type * num_types + neighbor_type
+        - the fused-kernel block plan (``FUSED_OFFS``/``FUSED_WIN``) for
+          fused backends — also validates the sorted-centers invariant the
+          fused kernels require (edges non-decreasing in ``edge_index[0]``).
+        """
+        out = dict(data)
+        num_types = len(self.config["type_names"])
+        centers = np.asarray(data[keys.EDGE_INDEX][0])
+        neighbors = np.asarray(data[keys.EDGE_INDEX][1])
+        types = np.asarray(data[keys.ATOM_TYPES])
+        n_atoms = types.shape[0]
+        ct = types[np.clip(centers, 0, n_atoms - 1)]
+        nt = types[np.clip(neighbors, 0, n_atoms - 1)]
+        out[keys.EDGE_TYPE] = jnp.asarray(
+            (ct * num_types + nt).astype(np.int32)
+        )
+        backend = (self.builder_kwargs or {}).get("tp_kernel_backend")
+        if backend in ("fused", "fused_infer"):
+            from ..nn.allegro import FUSED_BLOCK_EDGES
+            from ..ops.fused_tp import make_block_plan_np
+
+            win, offs, _ = make_block_plan_np(centers, FUSED_BLOCK_EDGES, n_atoms)
+            out[keys.FUSED_OFFS] = jnp.asarray(offs)
+            out[keys.FUSED_WIN] = jnp.asarray(win)
+        return out
+
     def apply(self, params, data: Dict) -> Dict:
         """Energy-only forward pass."""
         return self.module.apply(params, data)

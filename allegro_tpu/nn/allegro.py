@@ -143,12 +143,18 @@ class AllegroLayers(nn.Module):
         )
         S = self.num_scalar_features
         env_numel = self._env_weighter.weight_numel
+        scatter_factor = 1.0 / math.sqrt(self.avg_num_neighbors)
+        # fused backends absorb the env scatter_factor into the producing
+        # MLPs' last weight matrix (a [fan_in, out] op on params) instead of
+        # multiplying every per-edge env-weight array (4x [E, env_numel]
+        # fusions/step measured). Exactly equivalent by linearity.
+        fold_factor = self.tp_kernel_backend in ("fused", "fused_infer")
+        env_scale = (S, scatter_factor) if fold_factor else None
         # linear first-layer projection: two-body scalars -> scalars_0 + env_w_0
         self.first_projection = ScalarMLP(
             S + env_numel, hidden_dims=(), param_dtype=self.param_dtype,
-            precision=self.precision,
+            precision=self.precision, out_col_scale=env_scale,
         )
-        scatter_factor = 1.0 / math.sqrt(self.avg_num_neighbors)
         tps = []
         latents = []
         for layer in range(self.num_layers):
@@ -159,7 +165,7 @@ class AllegroLayers(nn.Module):
                     irreps_out=str(ladder[layer + 1]),
                     mul=self.num_tensor_features,
                     path_channel_coupling=self.tp_path_channel_coupling,
-                    scatter_factor=scatter_factor,
+                    scatter_factor=None if fold_factor else scatter_factor,
                     param_dtype=self.param_dtype,
                     kernel_backend=self.tp_kernel_backend,
                     chunk_edges=self.tp_chunk_edges or None,
@@ -173,6 +179,7 @@ class AllegroLayers(nn.Module):
                     hidden_dims=tuple(self.mlp_hidden_dims),
                     param_dtype=self.param_dtype,
                     precision=self.precision,
+                    out_col_scale=None if last else env_scale,
                 )
             )
         self.tps = tps
@@ -229,7 +236,16 @@ class AllegroLayers(nn.Module):
                 features = features.transpose(0, 2, 1).reshape(Ep, d1 * U)
             if self.tensor_dtype is not None:
                 features = features.astype(jnp.dtype(self.tensor_dtype))
-            win, offs = make_block_plan(centers_p, eb)
+            if (
+                keys.FUSED_OFFS in data
+                and data[keys.FUSED_OFFS].shape == (Ep // eb * 8, eb)
+            ):
+                # precomputed per neighbor list (Model.precompute_statics) —
+                # position-independent, so deriving it inside the jitted step
+                # wastes ~0.5 ms/step at production edge counts
+                offs, win = data[keys.FUSED_OFFS], data[keys.FUSED_WIN]
+            else:
+                win, offs = make_block_plan(centers_p, eb)
             plan = (offs, win)
             n_rank = num_rank_rows(n_atoms, eb)
         elif packed:

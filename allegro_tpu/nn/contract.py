@@ -279,7 +279,17 @@ class Contracter(nn.Module):
         P, d1, d2, d3 = self._w3j.shape
         if os.environ.get("ALLEGRO_TP_BYPASS") == "1":
             # profiling ablation: shape-preserving cheap stand-in for the TP
-            # kernels (keeps every surrounding op + AD structure alive)
+            # kernels (keeps every surrounding op + AD structure alive).
+            # LOUD warning: energies/forces are garbage if this env var leaks
+            # from a profiling session into a real run.
+            import warnings
+
+            warnings.warn(
+                "ALLEGRO_TP_BYPASS=1 is active: the tensor product is "
+                "REPLACED by a profiling stub — energies and forces are "
+                "meaningless. Unset ALLEGRO_TP_BYPASS for real runs.",
+                stacklevel=2,
+            )
             U = self.mul
             q = min(d1, d3)
             stub = jnp.zeros((x.shape[0], d3 * U), x.dtype)

@@ -33,15 +33,19 @@ def with_edge_vectors(data: Dict, recompute: bool = False) -> Dict:
         cell = data[keys.CELL]
         if cell.ndim == 2:
             cell = cell[None]
-        if keys.BATCH in data:
-            edge_frame = jnp.take(data[keys.BATCH], centers, axis=0, mode="clip")
-        else:
-            edge_frame = jnp.zeros_like(centers)
-        edge_cell = jnp.take(cell, edge_frame, axis=0)  # [E, 3, 3]
         shift = data[keys.EDGE_CELL_SHIFT].astype(vec.dtype)
-        vec = vec + jnp.einsum(
-            "es,esr->er", shift, edge_cell.astype(vec.dtype), precision="highest"
-        )
+        if cell.shape[0] == 1 or keys.BATCH not in data:
+            # single frame: no per-edge frame gather (TPU row gathers are
+            # slow — measured 0.7 ms/step at production edge counts)
+            vec = vec + jnp.einsum(
+                "es,sr->er", shift, cell[0].astype(vec.dtype), precision="highest"
+            )
+        else:
+            edge_frame = jnp.take(data[keys.BATCH], centers, axis=0, mode="clip")
+            edge_cell = jnp.take(cell, edge_frame, axis=0)  # [E, 3, 3]
+            vec = vec + jnp.einsum(
+                "es,esr->er", shift, edge_cell.astype(vec.dtype), precision="highest"
+            )
     out = dict(data)
     out[keys.EDGE_VECTORS] = vec
     # NaN-safe norm: padded edges have zero vectors, and d|v|/dv at v=0 is
@@ -79,11 +83,17 @@ class EdgeLengthNormalizer:
     def __call__(self, data: Dict) -> Dict:
         data = with_edge_vectors(data)
         out = dict(data)
-        centers, neighbors = data[keys.EDGE_INDEX][0], data[keys.EDGE_INDEX][1]
-        types = data[keys.ATOM_TYPES]
-        edge_type = jnp.take(types, centers, mode="clip") * self.num_types + jnp.take(
-            types, neighbors, mode="clip"
-        )
+        if keys.EDGE_TYPE in data:
+            # precomputed per neighbor list (position-independent; see
+            # Model.precompute_statics) — two per-edge type gathers cost
+            # ~1.4 ms/step at production edge counts if redone every step
+            edge_type = data[keys.EDGE_TYPE]
+        else:
+            centers, neighbors = data[keys.EDGE_INDEX][0], data[keys.EDGE_INDEX][1]
+            types = data[keys.ATOM_TYPES]
+            edge_type = jnp.take(types, centers, mode="clip") * self.num_types + jnp.take(
+                types, neighbors, mode="clip"
+            )
         out[keys.EDGE_TYPE] = edge_type.astype(jnp.int32)
         r = data[keys.EDGE_LENGTH]
         if self._flat_cutoffs is not None:

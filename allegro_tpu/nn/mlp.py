@@ -46,6 +46,13 @@ class ScalarMLP(nn.Module):
     nonlinearity: Optional[Callable] = nn.silu
     param_dtype: jnp.dtype = jnp.float32
     precision: Optional[str] = "highest"
+    # (start_col, factor): output columns [start_col:] are scaled by
+    # ``factor``, folded into the LAST weight matrix at apply time (a
+    # [fan_in, out] elementwise op on the params) instead of multiplying the
+    # [E, out] activation — the fused Allegro layers use this to absorb the
+    # env scatter_factor (1/sqrt(avg_num_neighbors)) at zero per-edge cost.
+    # Exactly equivalent math (scaling commutes through the linear layer).
+    out_col_scale: Optional[tuple] = None
 
     @property
     def is_nonlinear(self) -> bool:
@@ -62,9 +69,20 @@ class ScalarMLP(nn.Module):
         pieces = tuple(x) if isinstance(x, (tuple, list)) else (x,)
         dims = (*self.hidden_dims, self.output_dim)
         in_dim = sum(p.shape[-1] for p in pieces)
+
+        def scale_last(w):
+            if self.out_col_scale is None:
+                return w
+            start, factor = self.out_col_scale
+            return jnp.concatenate(
+                [w[:, :start], w[:, start:] * jnp.asarray(factor, w.dtype)], axis=1
+            )
+
         w0 = self.param(
             "w0", forward_weight_init, (in_dim, dims[0]), self.param_dtype
         )
+        if len(dims) == 1:
+            w0 = scale_last(w0)
         x = None
         off = 0
         for p in pieces:
@@ -78,6 +96,8 @@ class ScalarMLP(nn.Module):
             w = self.param(
                 f"w{k}", forward_weight_init, (x.shape[-1], d), self.param_dtype
             )
+            if k == len(dims) - 1:
+                w = scale_last(w)
             x = jnp.dot(x, w.astype(x.dtype), precision=self.precision)
             if k < len(dims) - 1 and self.nonlinearity is not None:
                 x = self.nonlinearity(x)

@@ -79,6 +79,14 @@ def _zero_or_none(x):
     return ad.Zero(x.aval) if ad.is_undefined_primal(x) else None
 
 
+def _cast_ct(val, primal):
+    """Cotangents must carry the primal aval's dtype: with bf16 tensor-track
+    storage the kernels compute/return f32 (compute_dtype), but stricter JAX
+    versions reject transpose outputs whose dtype differs from the primal."""
+    dt = primal.aval.dtype
+    return val if val.dtype == dt else val.astype(dt)
+
+
 # ---------------------------------------------------------------------------
 # env_scatter: env[r, jU+u] = Σ_{e: rank_e=r} sh[e,j] wexp[e, irr(j)U+u]
 # ---------------------------------------------------------------------------
@@ -131,7 +139,8 @@ def _env_scatter_transpose(ct, sh, wexp, offs, win, *, dim_to_irr, U, eb, n_rank
         return (_zero_or_none(sh), _zero_or_none(wexp), None, None)
     kw = dict(dim_to_irr=dim_to_irr, U=U, eb=eb)
     if ad.is_undefined_primal(sh):
-        return (unweight_sh(ct, wexp, offs, win, **kw), None, None, None)
+        gs = unweight_sh(ct, wexp, offs, win, **kw)
+        return (_cast_ct(gs, sh), None, None, None)
     assert ad.is_undefined_primal(wexp)
     gw = unweight_w(ct, sh, offs, win, out_dtype=wexp.aval.dtype, **kw)
     return (None, gw, None, None)
@@ -193,16 +202,16 @@ def _gather_tp_transpose(ct, x, env, w, offs, win, *, entries, dims, U, eb):
             ct, env, w, offs, win, entries=_swap_entries(entries), dims=_rev(dims),
             U=U, eb=eb,
         )
-        return (gx, None, None, None, None)
+        return (_cast_ct(gx, x), None, None, None, None)
     if ad.is_undefined_primal(env):
         genv = tp_scatter(
             x, ct, w, offs, win, entries=entries, dims=dims, U=U, eb=eb,
             n_rank_rows=env.aval.shape[0],
         )
-        return (None, genv, None, None, None)
+        return (None, _cast_ct(genv, env), None, None, None)
     assert ad.is_undefined_primal(w)
     gw = gather_dw(x, env, ct, offs, win, entries=entries, dims=dims, U=U, eb=eb)
-    return (None, None, gw, None, None)
+    return (None, None, _cast_ct(gw, w), None, None)
 
 
 ad.primitive_transposes[gather_tp_p] = _gather_tp_transpose
@@ -265,13 +274,13 @@ def _tp_scatter_transpose(ct, x, g, w, offs, win, *, entries, dims, U, eb, n_ran
         gx = gather_tp(
             g, ct, w, offs, win, entries=_swap_entries(entries), dims=_rev(dims), **kw
         )
-        return (gx, None, None, None, None)
+        return (_cast_ct(gx, x), None, None, None, None)
     if ad.is_undefined_primal(g):
         gg = gather_tp(x, ct, w, offs, win, entries=entries, dims=dims, **kw)
-        return (None, gg, None, None, None)
+        return (None, _cast_ct(gg, g), None, None, None)
     assert ad.is_undefined_primal(w)
     gw = gather_dw(x, ct, g, offs, win, entries=entries, dims=dims, **kw)
-    return (None, None, gw, None, None)
+    return (None, None, _cast_ct(gw, w), None, None)
 
 
 ad.primitive_transposes[tp_scatter_p] = _tp_scatter_transpose
@@ -331,16 +340,16 @@ def _gather_dw_transpose(ct, x, env, g, offs, win, *, entries, dims, U, eb):
         gx = gather_tp(
             g, env, ct, offs, win, entries=_swap_entries(entries), dims=_rev(dims), **kw
         )
-        return (gx, None, None, None, None)
+        return (_cast_ct(gx, x), None, None, None, None)
     if ad.is_undefined_primal(env):
         genv = tp_scatter(
             x, g, ct, offs, win, entries=entries, dims=dims,
             n_rank_rows=env.aval.shape[0], **kw,
         )
-        return (None, genv, None, None, None)
+        return (None, _cast_ct(genv, env), None, None, None)
     assert ad.is_undefined_primal(g)
     gg = gather_tp(x, env, ct, offs, win, entries=entries, dims=dims, **kw)
-    return (None, None, gg, None, None)
+    return (None, None, _cast_ct(gg, g), None, None)
 
 
 ad.primitive_transposes[gather_dw_p] = _gather_dw_transpose
@@ -397,7 +406,7 @@ def _unweight_sh_transpose(ct, t, wexp, offs, win, *, dim_to_irr, U, eb):
     kw = dict(dim_to_irr=dim_to_irr, U=U, eb=eb)
     if ad.is_undefined_primal(t):
         gt = env_scatter(ct, wexp, offs, win, n_rank_rows=t.aval.shape[0], **kw)
-        return (gt, None, None, None)
+        return (_cast_ct(gt, t), None, None, None)
     assert ad.is_undefined_primal(wexp)
     gw = unweight_w(t, ct, offs, win, out_dtype=wexp.aval.dtype, **kw)
     return (None, gw, None, None)
@@ -459,10 +468,10 @@ def _unweight_w_transpose(ct, t, sh, offs, win, *, dim_to_irr, U, eb, out_dtype=
     kw = dict(dim_to_irr=dim_to_irr, U=U, eb=eb)
     if ad.is_undefined_primal(t):
         gt = env_scatter(sh, ct, offs, win, n_rank_rows=t.aval.shape[0], **kw)
-        return (gt, None, None, None)
+        return (_cast_ct(gt, t), None, None, None)
     assert ad.is_undefined_primal(sh)
     gs = unweight_sh(t, ct, offs, win, **kw)
-    return (None, gs, None, None)
+    return (None, _cast_ct(gs, sh), None, None)
 
 
 ad.primitive_transposes[unweight_w_p] = _unweight_w_transpose
@@ -561,6 +570,16 @@ def _fli_bwd(entries, dims, U, eb, dim_to_irr, n_rank_rows, res, g):
     )
     zoffs = np.zeros(offs.shape, jax.dtypes.float0)
     zwin = np.zeros(win.shape, jax.dtypes.float0)
+    # cotangent dtypes must equal the primal dtypes (bf16 storage mode:
+    # kernels return f32 compute_dtype, but w/x may be stored bf16)
+    if dx.dtype != x.dtype:
+        dx = dx.astype(x.dtype)
+    if dsh.dtype != sh.dtype:
+        dsh = dsh.astype(sh.dtype)
+    if dwexp.dtype != wexp.dtype:
+        dwexp = dwexp.astype(wexp.dtype)
+    if dw.dtype != w.dtype:
+        dw = dw.astype(w.dtype)
     return (dx, dsh, dwexp, dw, zoffs, zwin)
 
 

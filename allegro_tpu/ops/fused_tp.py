@@ -103,6 +103,42 @@ def make_block_plan(centers: jnp.ndarray, eb: int):
     return win, offs_padded
 
 
+def make_block_plan_np(centers: np.ndarray, eb: int, n_atoms: int):
+    """Host (numpy) twin of :func:`make_block_plan`, for precomputing the
+    plan ONCE per neighbor list (``Model.precompute_statics``) instead of
+    re-deriving it inside every jitted force step (~0.5 ms/step of cumsum/
+    repeat fusions at production edge counts). Also validates the fused
+    backends' sorted-centers invariant, which the jitted path silently
+    assumes: unsorted edge input would give silently wrong environments.
+
+    ``centers``: int32 [E] (unpadded OK — padded here to a multiple of
+    ``eb`` with the ``n_atoms`` sentinel). Returns (win, offs_padded, Ep).
+    """
+    centers = np.asarray(centers)
+    real = centers[centers < n_atoms] if centers.size else centers
+    if real.size and (np.diff(real) < 0).any():
+        raise ValueError(
+            "fused TP backends require edges sorted by center atom "
+            "(non-decreasing edge_index[0]; the in-repo neighbor_list/"
+            "simulation pipelines produce this order)"
+        )
+    E = centers.shape[0]
+    Ep = -(-E // eb) * eb
+    if Ep != E:
+        centers = np.concatenate(
+            [centers, np.full(Ep - E, n_atoms, dtype=centers.dtype)]
+        )
+    nb = Ep // eb
+    neq = (centers[1:] != centers[:-1]).astype(np.int32)
+    ranks = np.concatenate([np.zeros(1, np.int32), np.cumsum(neq, dtype=np.int32)])
+    win = (ranks[::eb] // eb).astype(np.int32)
+    offs = (ranks - np.repeat(win * eb, eb)).astype(np.int32).reshape(nb, 1, eb)
+    offs_padded = np.concatenate(
+        [offs, np.zeros((nb, 7, eb), np.int32)], axis=1
+    ).reshape(nb * 8, eb)
+    return win, offs_padded, Ep
+
+
 def sort_entries_for_pairs(entries: Sequence[Entry], a: int = 0, b: int = 1):
     """Sort entries so consecutive ones share the (entries[a], entries[b]) pair
     (one product formed per distinct pair inside the kernels)."""
