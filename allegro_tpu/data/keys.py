@@ -41,6 +41,10 @@ EDGE_ENERGY = "edge_energy"           # [E, 1]
 # step doesn't re-derive them every MD step) ---
 FUSED_OFFS = "fused_offs"             # [NB*8, eb] int32 — fused-kernel block plan
 FUSED_WIN = "fused_win"               # [NB] int32 — fused-kernel window indices
+# presence marker (value unused): edge centers cover atoms 0..max contiguously,
+# so rank row r == atom r and the rank-window kernels can serve atom-indexed
+# gather/scatter (forces accumulation, energy reduction)
+CENTER_RANK_IDENTITY = "center_rank_identity"
 
 # --- per-frame ---
 CELL = "cell"                         # [F, 3, 3] float (rows are lattice vectors)

@@ -218,6 +218,10 @@ class Simulation:
                 offss.append(o)
             static[keys.FUSED_WIN] = np.stack(wins)
             static[keys.FUSED_OFFS] = np.stack(offss)
+            if D == 1 and E and np.array_equal(
+                np.unique(i), np.arange(int(i.max()) + 1)
+            ):
+                static[keys.CENTER_RANK_IDENTITY] = np.ones((1,), bool)
         if self.cell is not None:
             static[keys.CELL] = np.broadcast_to(self.cell[None], (1, 3, 3))
             static[keys.PBC] = self.pbc[None]
@@ -253,7 +257,12 @@ class Simulation:
                 if keys.CELL in shard:
                     data[keys.CELL] = shard[keys.CELL]
                     data[keys.PBC] = shard[keys.PBC]
-                for k in (keys.EDGE_TYPE, keys.FUSED_OFFS, keys.FUSED_WIN):
+                for k in (
+                    keys.EDGE_TYPE,
+                    keys.FUSED_OFFS,
+                    keys.FUSED_WIN,
+                    keys.CENTER_RANK_IDENTITY,
+                ):
                     if k in shard:
                         data[k] = shard[k]
                 out = model.apply(params, data)

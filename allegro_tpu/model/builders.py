@@ -144,6 +144,13 @@ class Model:
             win, offs, _ = make_block_plan_np(centers, FUSED_BLOCK_EDGES, n_atoms)
             out[keys.FUSED_OFFS] = jnp.asarray(offs)
             out[keys.FUSED_WIN] = jnp.asarray(win)
+            real = centers[centers < n_atoms]
+            if real.size and np.array_equal(
+                np.unique(real), np.arange(int(real.max()) + 1)
+            ):
+                # rank row r == atom r: the rank-window kernels can serve
+                # atom-indexed gather/scatter (forces, energy reduction)
+                out[keys.CENTER_RANK_IDENTITY] = jnp.ones((), jnp.bool_)
         return out
 
     def apply(self, params, data: Dict) -> Dict:

@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Dict, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..data import keys
@@ -31,6 +32,30 @@ def _edge_mask(data: Dict, like) -> jnp.ndarray:
     if keys.EDGE_MASK in data:
         return data[keys.EDGE_MASK].astype(like.dtype)[:, None]
     return jnp.ones((like.shape[0], 1), dtype=like.dtype)
+
+
+class OneHotEmbed(nn.Module):
+    """``nn.Embed`` drop-in (same param path/shape/init) that looks rows up
+    with a one-hot MXU matmul instead of a gather: TPU row gathers cost
+    ~0.15 ms per [E]-gather at production edge counts (near-scalar DMA), a
+    one-hot [E, T] @ [T, D] matmul is fully pipelined. Exact: each one-hot
+    row selects a single table row (no accumulation), done at HIGHEST so the
+    table values are never rounded to bf16."""
+
+    num_embeddings: int
+    features: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, indices):
+        table = self.param(
+            "embedding",
+            nn.initializers.variance_scaling(1.0, "fan_in", "normal", out_axis=0),
+            (self.num_embeddings, self.features),
+            self.param_dtype,
+        )
+        onehot = jax.nn.one_hot(indices, self.num_embeddings, dtype=table.dtype)
+        return jnp.dot(onehot, table, precision="highest")
 
 
 class ProductTypeEmbedding(nn.Module):
@@ -52,8 +77,10 @@ class ProductTypeEmbedding(nn.Module):
         radial_proj = ScalarMLP(
             self.dim, hidden_dims=(), name="radial_proj", param_dtype=dtype
         )(radial_basis)
-        center_embed = nn.Embed(self.num_types, half, name="center_type_embed", param_dtype=dtype)
-        neighbor_embed = nn.Embed(
+        center_embed = OneHotEmbed(
+            self.num_types, half, name="center_type_embed", param_dtype=dtype
+        )
+        neighbor_embed = OneHotEmbed(
             self.num_types, half, name="neighbor_type_embed", param_dtype=dtype
         )
         chem = jnp.concatenate(
@@ -77,12 +104,21 @@ class TwoBodyBesselScalarEmbed(nn.Module):
         dtype = self.param_dtype
         cutoff = PolynomialCutoff(self.polynomial_cutoff_p)(u)[:, None].astype(dtype)
         radial = bessel_basis(u, self.num_bessels).astype(dtype) * cutoff
-        centers, neighbors = data[keys.EDGE_INDEX][0], data[keys.EDGE_INDEX][1]
-        types = data[keys.ATOM_TYPES]
+        if keys.EDGE_TYPE in data:
+            # precomputed per neighbor list (Model.precompute_statics):
+            # derive center/neighbor types with a divmod instead of two
+            # per-edge type gathers (~1.4 ms/step at production edge counts)
+            et = data[keys.EDGE_TYPE]
+            ct, nt = et // self.num_types, et % self.num_types
+        else:
+            centers, neighbors = data[keys.EDGE_INDEX][0], data[keys.EDGE_INDEX][1]
+            types = data[keys.ATOM_TYPES]
+            ct = jnp.take(types, centers, mode="clip")
+            nt = jnp.take(types, neighbors, mode="clip")
         emb = ProductTypeEmbedding(
             num_types=self.num_types, dim=self.output_dim, param_dtype=dtype,
             name="product_type_embed",
-        )(radial, jnp.take(types, centers, mode="clip"), jnp.take(types, neighbors, mode="clip"))
+        )(radial, ct, nt)
         out = dict(data)
         mask = _edge_mask(data, emb)
         out[keys.EDGE_CUTOFF] = cutoff * mask

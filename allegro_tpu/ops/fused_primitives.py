@@ -478,6 +478,105 @@ ad.primitive_transposes[unweight_w_p] = _unweight_w_transpose
 
 
 # ---------------------------------------------------------------------------
+# center_scatter / center_gather: atom-indexed segment-sum over sorted edge
+# centers and its transpose (per-atom → per-edge broadcast), as rank-window
+# Pallas kernels. Requires the identity rank map (every atom is a center, so
+# rank r == atom r — validated where the plan is precomputed). Replaces
+# XLA's slow TPU row scatter/gather for forces accumulation and per-atom
+# energy reduction; the pair is closed under transposition (arbitrary-order
+# AD for force training).
+# ---------------------------------------------------------------------------
+
+center_scatter_p = Primitive("allegro_center_scatter")
+center_gather_p = Primitive("allegro_center_gather")
+
+
+def center_scatter(vals, offs, win, *, eb, n_atoms):
+    """vals [Ep, C] per-edge → [n_atoms, C] sums over each edge's center."""
+    return center_scatter_p.bind(vals, offs, win, eb=eb, n_atoms=n_atoms)
+
+
+def center_gather(atom_vals, offs, win, *, eb, n_edges):
+    """atom_vals [n_atoms, C] → per-edge [n_edges, C] (value of each edge's
+    center atom; padded sentinel edges read garbage rank rows — mask/ignore)."""
+    return center_gather_p.bind(atom_vals, offs, win, eb=eb, n_edges=n_edges)
+
+
+@center_scatter_p.def_abstract_eval
+def _center_scatter_abs(vals, offs, win, *, eb, n_atoms):
+    return core.ShapedArray((n_atoms, vals.shape[1]), fused_tp.compute_dtype(vals.dtype))
+
+
+@center_gather_p.def_abstract_eval
+def _center_gather_abs(atom_vals, offs, win, *, eb, n_edges):
+    return core.ShapedArray(
+        (n_edges, atom_vals.shape[1]), fused_tp.compute_dtype(atom_vals.dtype)
+    )
+
+
+def _center_scatter_impl(vals, offs, win, *, eb, n_atoms):
+    sA, sB = fused_tp.center_sum_call(
+        vals.T, offs, win, eb=eb, n_rank_rows=fused_tp.num_rank_rows(n_atoms, eb)
+    )
+    comb = fused_tp.combine_scatter_cols(sA, sB, win, eb)
+    return comb[:, :n_atoms].T
+
+
+def _center_gather_impl(atom_vals, offs, win, *, eb, n_edges):
+    n_rank = fused_tp.num_rank_rows(atom_vals.shape[0], eb)
+    aT = jnp.pad(atom_vals.T, ((0, 0), (0, n_rank - atom_vals.shape[0])))
+    return fused_tp.center_broadcast_call(aT, offs, win, eb=eb, Ep=n_edges).T
+
+
+for p, impl in (
+    (center_scatter_p, _center_scatter_impl),
+    (center_gather_p, _center_gather_impl),
+):
+    p.def_impl(functools.partial(lambda f, *a, **k: f(*a, **k), impl))
+    mlir.register_lowering(p, mlir.lower_fun(impl, multiple_results=False))
+
+
+def _center_scatter_jvp(primals, tangents, **kw):
+    vals, offs, win = primals
+    dv = tangents[0]
+    out = center_scatter(vals, offs, win, **kw)
+    parts = [] if type(dv) is ad.Zero else [center_scatter(dv, offs, win, **kw)]
+    return out, _sum_tangents(out, parts)
+
+
+def _center_gather_jvp(primals, tangents, **kw):
+    av, offs, win = primals
+    dv = tangents[0]
+    out = center_gather(av, offs, win, **kw)
+    parts = [] if type(dv) is ad.Zero else [center_gather(dv, offs, win, **kw)]
+    return out, _sum_tangents(out, parts)
+
+
+ad.primitive_jvps[center_scatter_p] = _center_scatter_jvp
+ad.primitive_jvps[center_gather_p] = _center_gather_jvp
+
+
+def _center_scatter_transpose(ct, vals, offs, win, *, eb, n_atoms):
+    if type(ct) is ad.Zero:
+        return (_zero_or_none(vals), None, None)
+    assert ad.is_undefined_primal(vals)
+    gv = center_gather(ct, offs, win, eb=eb, n_edges=vals.aval.shape[0])
+    return (_cast_ct(gv, vals), None, None)
+
+
+def _center_gather_transpose(ct, atom_vals, offs, win, *, eb, n_edges):
+    if type(ct) is ad.Zero:
+        return (_zero_or_none(atom_vals), None, None)
+    assert ad.is_undefined_primal(atom_vals)
+    gv = center_scatter(ct, offs, win, eb=eb, n_atoms=atom_vals.aval.shape[0])
+    return (_cast_ct(gv, atom_vals), None, None)
+
+
+ad.primitive_transposes[center_scatter_p] = _center_scatter_transpose
+ad.primitive_transposes[center_gather_p] = _center_gather_transpose
+
+
+# ---------------------------------------------------------------------------
 # batching: lax.map fallback (the model path never vmaps these; tests may)
 # ---------------------------------------------------------------------------
 
@@ -506,6 +605,8 @@ batching.primitive_batchers[tp_scatter_p] = _map_batcher(tp_scatter, 3)
 batching.primitive_batchers[gather_dw_p] = _map_batcher(gather_dw, 3)
 batching.primitive_batchers[unweight_sh_p] = _map_batcher(unweight_sh, 2)
 batching.primitive_batchers[unweight_w_p] = _map_batcher(unweight_w, 2)
+batching.primitive_batchers[center_scatter_p] = _map_batcher(center_scatter, 1)
+batching.primitive_batchers[center_gather_p] = _map_batcher(center_gather, 1)
 
 
 # ---------------------------------------------------------------------------

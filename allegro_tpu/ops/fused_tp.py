@@ -209,6 +209,26 @@ def _onehot_dot(g_bool, data, dtype):
     )
 
 
+def _onehot_dot_right(data, g_bool, dtype):
+    """data [C, n] @ one-hot g_bool [n, m] — right-multiplied twin of
+    :func:`_onehot_dot` (same exact 3-pass bf16 data split for f32)."""
+    data = data.astype(dtype)
+    if dtype == jnp.float32 and not INTERPRET:
+        g = g_bool.astype(jnp.bfloat16)
+        out = None
+        for part in _split3_bf16(data):
+            t = jax.lax.dot_general(
+                part, g, _DN_ROWS, preferred_element_type=jnp.float32
+            )
+            out = t if out is None else out + t
+        return out
+    acc = jnp.promote_types(dtype, jnp.float32)
+    return jax.lax.dot_general(
+        data, g_bool.astype(dtype), _DN_ROWS, precision=_HIGHEST,
+        preferred_element_type=acc,
+    )
+
+
 def _gather_windows(o, envA, envB, eb: int, dtype):
     """One-hot gather of per-edge environment rows from the two window tiles.
 
@@ -466,6 +486,105 @@ def gather_dw_call(x, envA, envB, g, offs_p, win, *, entries, dims, U, eb):
         grid_spec=grid_spec,
         interpret=INTERPRET,
     )(win, offs_p, x, envA, envB, g)
+
+
+# ---------------------------------------------------------------------------
+# center-indexed gather/scatter of small per-edge/per-atom fields
+# (forces accumulation, per-atom-energy reduction and their VJPs):
+# XLA's row gather/scatter on TPU costs ~0.7-0.9 ms per [E]-sized op at
+# production edge counts (near-scalar DMA); these kernels ride the block
+# plan's rank windows with one-hot MXU products instead. Valid when edge
+# centers are the identity rank map (every atom appears as a center —
+# checked by Model.precompute_statics / the MD rebuild).
+# ---------------------------------------------------------------------------
+
+
+def combine_scatter_cols(dA, dB, win, eb: int):
+    """Column-axis twin of :func:`combine_scatter_outputs` for [C, rows]."""
+    cols = dA.shape[1]
+    r = jax.lax.broadcasted_iota(jnp.int32, (1, cols), 1)
+    w0, wl = win[0], win[-1]
+    mA = jnp.logical_and(r >= w0 * eb, r < (wl + 1) * eb)
+    mB = jnp.logical_and(r >= (w0 + 1) * eb, r < (wl + 2) * eb)
+    zero = jnp.zeros((), dA.dtype)
+    return jnp.where(mA, dA, zero) + jnp.where(mB, dB, zero)
+
+
+def _center_sum_kernel(win_ref, offs_ref, v_ref, outA_ref, outB_ref, *, eb):
+    o = offs_ref[0, :]
+    cdt = compute_dtype(v_ref.dtype)
+    v = v_ref[...].astype(cdt)  # [C, eb] feature-major
+    ii = jax.lax.broadcasted_iota(jnp.int32, (eb, eb), 1)  # [edge, atom]
+    oc = o[:, None]
+    sa = _onehot_dot_right(v, ii == oc, cdt)
+    sb = _onehot_dot_right(v, ii == (oc - eb), cdt)
+    first = _first_visit(win_ref)
+
+    @pl.when(first)
+    def _():
+        outA_ref[...] = jnp.zeros_like(outA_ref)
+        outB_ref[...] = jnp.zeros_like(outB_ref)
+
+    outA_ref[...] = outA_ref[...] + sa.astype(outA_ref.dtype)
+    outB_ref[...] = outB_ref[...] + sb.astype(outB_ref.dtype)
+
+
+def center_sum_call(vT, offs_p, win, *, eb, n_rank_rows):
+    """vT [C, Ep] per-edge values (feature-major) → two window partials
+    [C, n_rank_rows]; combine with :func:`combine_scatter_cols`."""
+    C, Ep = vT.shape
+    nb = Ep // eb
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((8, eb), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, eb), lambda b, w_: (0, b), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((C, eb), lambda b, w_: (0, w_[b]), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, eb), lambda b, w_: (0, w_[b] + 1), memory_space=pltpu.VMEM),
+        ],
+    )
+    shape = jax.ShapeDtypeStruct((C, n_rank_rows), compute_dtype(vT.dtype))
+    return pl.pallas_call(
+        functools.partial(_center_sum_kernel, eb=eb),
+        out_shape=[shape, shape],
+        grid_spec=grid_spec,
+        interpret=INTERPRET,
+    )(win, offs_p, vT)
+
+
+def _center_broadcast_kernel(win_ref, offs_ref, aA_ref, aB_ref, out_ref, *, eb):
+    o = offs_ref[0, :]
+    cdt = compute_dtype(aA_ref.dtype)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (eb, eb), 0)  # [atom, edge]
+    oc = o[None, :]
+    out = _onehot_dot_right(aA_ref[...].astype(cdt), ii == oc, cdt)
+    out = out + _onehot_dot_right(aB_ref[...].astype(cdt), ii == (oc - eb), cdt)
+    out_ref[...] = out.astype(out_ref.dtype)
+
+
+def center_broadcast_call(aT, offs_p, win, *, eb, Ep):
+    """aT [C, n_rank_rows] per-rank values → per-edge [C, Ep]."""
+    C = aT.shape[0]
+    nb = Ep // eb
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((8, eb), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, eb), lambda b, w_: (0, w_[b]), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, eb), lambda b, w_: (0, w_[b] + 1), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((C, eb), lambda b, w_: (0, b), memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_center_broadcast_kernel, eb=eb),
+        out_shape=jax.ShapeDtypeStruct((C, Ep), compute_dtype(aT.dtype)),
+        grid_spec=grid_spec,
+        interpret=INTERPRET,
+    )(win, offs_p, aT, aT)
 
 
 # ---------------------------------------------------------------------------
