@@ -8,6 +8,14 @@ the MD-engine set (per-atom energy, forces, total energy), drops batch keys
 appended shifted copy of the atom, edges are rewired to the copies, and the
 cell is dropped (``:28-63``). Forces computed on ghosts are summed back onto
 their owners (what LAMMPS does over MPI; here a segment-sum).
+
+Artifact contract note: models compiled with a ``fused``/``fused_infer``
+kernel backend require ``edge_index`` **sorted by center atom** (column 0
+non-decreasing), with any padding edges using a sentinel center >= n_atoms.
+Every in-repo producer (``data/neighborlist.py``, the MD re-neighboring, the
+C++ driver's cell-list build) emits this order; third-party integrations
+feeding their own neighbor lists must sort. Unsorted input is poisoned to
+NaN by the model (``nn/allegro.py``) rather than silently mis-aggregated.
 """
 
 from __future__ import annotations

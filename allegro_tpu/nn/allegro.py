@@ -246,6 +246,13 @@ class AllegroLayers(nn.Module):
                 offs, win = data[keys.FUSED_OFFS], data[keys.FUSED_WIN]
             else:
                 win, offs = make_block_plan(centers_p, eb)
+                # The fused kernels silently assume center-sorted edges; the
+                # host plan (Model.precompute_statics) raises on violation,
+                # but this in-jit fallback serves arbitrary user data — poison
+                # the basis with NaN on unsorted input so wrong environments
+                # surface as NaN energies instead of silently wrong numbers.
+                ok = jnp.all(centers_p[1:] >= centers_p[:-1])
+                sh_p = jnp.where(ok, sh_p, jnp.nan)
             plan = (offs, win)
             n_rank = num_rank_rows(n_atoms, eb)
         elif packed:

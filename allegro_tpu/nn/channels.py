@@ -65,6 +65,13 @@ class MakeWeightedChannels:
         fixed permutation of learned columns — model-equivalent, but it must
         be consistent across every backend (shared param pytree).
 
+        Checkpoint compatibility: irrep-major has been the one and only
+        released convention (the pre-release mul-major experiment never
+        shipped a checkpoint format). Any future layout change MUST bump the
+        checkpoint format version — shapes are unchanged under permutation,
+        so a stale checkpoint would load cleanly and silently compute
+        permuted env weights.
+
         Computed in the flat [E, mul*dim] layout: elementwise ops on arrays
         whose minor dim is the tiny irreps dim waste ~93% of the TPU's 128
         lanes (measured 12x slower); the boundary reshapes are free.

@@ -22,22 +22,36 @@ except Exception:
     pass
 
 from allegro_tpu.bench import run_benchmark, run_parity, run_train_bench
+from allegro_tpu.utils.chiplock import chip_lock
 
 if __name__ == "__main__":
     verbose = "-v" in sys.argv
     n = int(os.environ.get("BENCH_N_ATOMS", "4096"))
-    result = run_benchmark(n_atoms=n, verbose=verbose)
-    if os.environ.get("BENCH_SKIP_EXTRA", "0") != "1":
-        try:
-            result["extra"]["train_samples_per_sec"] = round(
-                run_train_bench(verbose=verbose), 2
-            )
-        except Exception as e:  # keep the headline metric even if a stage dies
-            result["extra"]["train_samples_per_sec_error"] = str(e)[:300]
-        try:
-            mae, rel = run_parity(verbose=verbose)
-            result["extra"]["force_mae_vs_f64"] = float(f"{mae:.3e}")
-            result["extra"]["force_mae_vs_f64_rel"] = float(f"{rel:.3e}")
-        except Exception as e:
-            result["extra"]["force_mae_error"] = str(e)[:300]
+    with chip_lock(timeout=7200):  # serialize vs real-chip tests / other runs
+        result = run_benchmark(n_atoms=n, verbose=verbose)
+        if os.environ.get("BENCH_SKIP_EXTRA", "0") != "1":
+            try:
+                # the BASELINE.md headline metric is defined AT 100k atoms —
+                # record the north-star system size in the same JSON line
+                # (bf16 tensor-track storage auto-selected; its force
+                # accuracy is pinned by tests/model/test_bf16_storage.py)
+                big = run_benchmark(n_atoms=100000, verbose=verbose)
+                result["extra"]["us_per_atom_100k"] = big["value"]
+                result["extra"]["n_atoms_100k"] = big["extra"]["n_atoms"]
+                result["extra"]["step_ms_100k"] = big["extra"]["step_ms"]
+                result["extra"]["tensor_dtype_100k"] = big["extra"]["tensor_dtype"]
+            except Exception as e:  # keep the headline even if a stage dies
+                result["extra"]["us_per_atom_100k_error"] = str(e)[:300]
+            try:
+                result["extra"]["train_samples_per_sec"] = round(
+                    run_train_bench(verbose=verbose), 2
+                )
+            except Exception as e:
+                result["extra"]["train_samples_per_sec_error"] = str(e)[:300]
+            try:
+                mae, rel = run_parity(verbose=verbose)
+                result["extra"]["force_mae_vs_f64"] = float(f"{mae:.3e}")
+                result["extra"]["force_mae_vs_f64_rel"] = float(f"{rel:.3e}")
+            except Exception as e:
+                result["extra"]["force_mae_error"] = str(e)[:300]
     print(json.dumps(result))

@@ -30,6 +30,12 @@ from allegro_tpu.data import batch_frames, keys, to_jax
 from allegro_tpu.data.neighborlist import neighbor_list
 from allegro_tpu.model import AllegroModel
 from allegro_tpu.native.md_driver import build_md_driver
+from allegro_tpu.utils.chiplock import chip_lock
+
+# serialize vs bench/other real-chip users for the whole script (flat script:
+# the flock is released at process exit; re-entrant if a wrapper holds it)
+_chip_guard = chip_lock(timeout=3600)
+_chip_guard.__enter__()
 
 R_MAX = 2.0
 SKIN = 0.4

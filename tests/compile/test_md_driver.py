@@ -50,13 +50,17 @@ def test_md_driver_trajectory_parity_vs_python():
     env = dict(os.environ)
     # the check drives the real chip — undo the CPU-platform pin from conftest
     env.pop("JAX_PLATFORMS", None)
-    r = subprocess.run(
-        [sys.executable, os.path.join(REPO, "scripts", "check_md_driver.py")],
-        capture_output=True,
-        text=True,
-        timeout=1800,
-        env=env,
-        cwd=REPO,
-    )
+    from allegro_tpu.utils.chiplock import chip_lock
+
+    with chip_lock(timeout=3600):
+        env["ALLEGRO_CHIP_LOCK_HELD"] = "1"  # child inherits ownership
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", "check_md_driver.py")],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+            env=env,
+            cwd=REPO,
+        )
     assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-1500:])
     assert "MD driver parity OK" in r.stdout

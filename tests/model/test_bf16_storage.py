@@ -1,0 +1,179 @@
+"""Numerics guards for the bf16 tensor-track storage configuration.
+
+``tensor_dtype='bfloat16'`` stores the (HBM-resident) tensor track in bf16
+with f32 in-kernel compute — the configuration ``bench.py`` auto-selects at
+the 100k-atom headline scale. These tests pin its accuracy against the f64
+einsum oracle with an explicit tolerance, so the headline number counts as
+"with force-MAE parity" (reference tolerance discipline:
+``/root/reference/tests/model/test_allegro.py:72-74``), and exercise AD
+through the bf16 path (cotangent-dtype consistency across JAX versions).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import allegro_tpu.ops.fused_tp as fused_tp
+from allegro_tpu.data import batch_frames, keys, to_jax
+from allegro_tpu.data.neighborlist import neighbor_list
+from allegro_tpu.model import AllegroModel
+
+pytestmark = pytest.mark.slow
+
+R_MAX = 2.5
+
+# bf16 storage keeps ~3 significant decimal digits on the tensor track;
+# measured end-to-end rel force error is ~1.4e-4 on production configs
+# (TODO.md round-2 sweep). Pin 6e-4 as the hard ceiling.
+BF16_REL_FORCE_TOL = 6e-4
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    fused_tp.INTERPRET = True
+    yield
+    fused_tp.INTERPRET = False
+
+
+def _data(rng, n_atoms=12, dtype=np.float64):
+    pos = rng.randn(n_atoms, 3) * 1.4
+    frame = {
+        keys.POSITIONS: pos,
+        keys.ATOM_TYPES: rng.randint(0, 3, n_atoms).astype(np.int32),
+    }
+    fr = neighbor_list(frame, R_MAX)
+    b = batch_frames([fr], n_atoms=n_atoms + 2, n_frames=1, edge_multiple=16)
+    return to_jax(b, dtype=dtype)
+
+
+def _model(backend, tensor_dtype=None, model_dtype="float32"):
+    return AllegroModel(
+        r_max=R_MAX,
+        type_names=["A", "B", "C"],
+        l_max=2,
+        parity=True,
+        num_layers=2,
+        num_scalar_features=16,
+        num_tensor_features=4,
+        scalar_embed_mlp_hidden_layers_width=16,
+        allegro_mlp_hidden_layers_width=16,
+        readout_mlp_hidden_layers_width=16,
+        avg_num_neighbors=6.0,
+        per_type_energy_scales=1.3,
+        per_type_energy_shifts=[0.1, -0.2, 0.3],
+        model_dtype=model_dtype,
+        tp_kernel_backend=backend,
+        tensor_dtype=tensor_dtype,
+    )
+
+
+def _flagship_model(backend, tensor_dtype=None, model_dtype="float32"):
+    """The bench flagship shape (U=32): bf16 rounding error on the tensor
+    track is amplified at toy widths (measured 4e-3 rel at U=4 vs 2.2e-4 at
+    U=32) — the guard must pin the configuration the headline is measured in."""
+    return AllegroModel(
+        r_max=4.0,
+        type_names=["A", "B", "C"],
+        l_max=2,
+        parity=True,
+        num_layers=2,
+        num_scalar_features=64,
+        num_tensor_features=32,
+        avg_num_neighbors=24.0,
+        per_type_energy_scales=1.0,
+        per_type_energy_shifts=0.0,
+        model_dtype=model_dtype,
+        tp_kernel_backend=backend,
+        tensor_dtype=tensor_dtype,
+    )
+
+
+def _crystal_data(dtype):
+    rng = np.random.RandomState(0)
+    side, spacing = 3, 2.2
+    grid = (
+        np.stack(np.meshgrid(*(np.arange(side),) * 3, indexing="ij"), axis=-1)
+        .reshape(-1, 3)
+        .astype(np.float64)
+    )
+    frame = {
+        keys.POSITIONS: grid * spacing + 0.1 * rng.randn(side**3, 3),
+        keys.ATOM_TYPES: rng.randint(0, 3, side**3).astype(np.int32),
+        keys.CELL: np.eye(3) * side * spacing,
+        keys.PBC: np.ones(3, bool),
+    }
+    return to_jax(batch_frames([neighbor_list(frame, 4.0)], n_frames=1), dtype=dtype)
+
+
+@pytest.mark.parametrize("backend", ["fused", "fused_infer"])
+def test_bf16_storage_force_accuracy_vs_f64_oracle(backend):
+    """The 100k-atom configuration's numerics: f32 flagship-shaped model with
+    bf16 tensor track on a periodic crystal vs the float64 einsum oracle,
+    explicit relative force tolerance (max-norm AND mean-norm)."""
+    oracle = _flagship_model("einsum", model_dtype="float64")
+    bf16 = _flagship_model(backend, tensor_dtype="bfloat16")
+    data64 = _crystal_data(np.float64)
+    data32 = _crystal_data(np.float32)
+    params = oracle.init(0, data64)
+    out_ref = oracle(params, data64)
+    params32 = jax.tree.map(
+        lambda x: x.astype(jnp.float32) if x.dtype == jnp.float64 else x, params
+    )
+    out_bf = bf16(params32, data32)
+    f_ref = np.asarray(out_ref[keys.FORCES], dtype=np.float64)
+    f_bf = np.asarray(out_bf[keys.FORCES], dtype=np.float64)
+    scale = max(float(np.abs(f_ref).max()), 1e-3)
+    max_rel = float(np.abs(f_bf - f_ref).max()) / scale
+    mae_rel = float(np.abs(f_bf - f_ref).mean()) / max(
+        float(np.abs(f_ref).mean()), 1e-3
+    )
+    assert max_rel < BF16_REL_FORCE_TOL, f"bf16 max rel force err {max_rel:.3e}"
+    assert mae_rel < BF16_REL_FORCE_TOL, f"bf16 rel force MAE {mae_rel:.3e}"
+    e_ref = float(np.asarray(out_ref[keys.TOTAL_ENERGY]).sum())
+    e_bf = float(np.asarray(out_bf[keys.TOTAL_ENERGY]).sum())
+    assert abs(e_bf - e_ref) / max(abs(e_ref), 1e-3) < BF16_REL_FORCE_TOL
+
+
+def test_bf16_storage_training_grads_finite_and_f32_params():
+    """Force-loss parameter gradients through the bf16 tensor track: runs
+    (cotangent dtypes consistent with primal avals) and returns finite
+    f32 grads for f32 params."""
+    model = _model("fused", tensor_dtype="bfloat16")
+    data = _data(np.random.RandomState(9), dtype=np.float32)
+    params = model.init(0, data)
+    target = jnp.zeros_like(data[keys.POSITIONS])
+
+    def loss(p):
+        out = model(p, data)
+        return (
+            jnp.sum((out[keys.FORCES] - target) ** 2)
+            + out[keys.TOTAL_ENERGY].sum() ** 2
+        )
+
+    grads = jax.grad(loss)(params)
+    for leaf in jax.tree.leaves(grads):
+        assert np.all(np.isfinite(np.asarray(leaf, dtype=np.float64)))
+        assert leaf.dtype in (jnp.float32,), leaf.dtype
+
+
+def test_unsorted_centers_poisoned_to_nan():
+    """The fused kernels require center-sorted edges; arbitrary user data
+    hitting the in-jit block-plan fallback with UNSORTED centers must
+    surface as NaN (loud) rather than silently-wrong environments."""
+    model = _model("fused")
+    data = _data(np.random.RandomState(3), dtype=np.float32)
+    params = model.init(0, data)
+    eidx = np.asarray(data[keys.EDGE_INDEX]).copy()
+    # swap the first and last REAL edges: centers now out of order
+    mask = np.asarray(data[keys.EDGE_MASK], dtype=bool)
+    real = np.where(mask)[0]
+    a, b = real[0], real[-1]
+    if eidx[0, a] == eidx[0, b]:  # make sure the swap really unsorts
+        b = real[len(real) // 2]
+    eidx[:, [a, b]] = eidx[:, [b, a]]
+    assert not np.all(np.diff(eidx[0][mask]) >= 0)
+    bad = dict(data)
+    bad[keys.EDGE_INDEX] = jnp.asarray(eidx)
+    out = model(params, bad)
+    assert not np.isfinite(np.asarray(out[keys.TOTAL_ENERGY]).sum())
