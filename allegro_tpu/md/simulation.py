@@ -116,8 +116,10 @@ class Simulation:
         self.mesh = mesh
         self.n_dev = int(np.prod(mesh.devices.shape))
         self.strategy = strategy
-        if strategy not in ("edge_shard", "slab"):
+        if strategy not in ("edge_shard", "slab", "brick"):
             raise ValueError(f"unknown MD strategy {strategy}")
+        if strategy == "brick":
+            assert len(mesh.axis_names) <= 3, "brick mesh has at most 3 axes"
         self._edge_bucket = 0
         self._block_fn = None
         self._ref_positions: Optional[np.ndarray] = None
@@ -316,22 +318,47 @@ class Simulation:
             out_shardings=(rep_sh, rep_sh, rep_sh, rep_sh),
         )
 
-    # --- slab domain-decomposition strategy ---
+    # --- spatial domain-decomposition strategies (slab / brick) ---
     def _run_slab(self, state: MDState, n_steps: int, callback: Optional[Callable]) -> MDState:
         """MD with true spatial decomposition: each device integrates its own
-        slab's atoms; ghost positions ride ppermute halos every force call
-        (the pair_allegro MPI-timestep analogue, SURVEY.md §3.4). Atoms
-        migrate between slabs at re-decomposition time (host)."""
+        slab's/brick's atoms; ghost positions ride ppermute halos every force
+        call (the pair_allegro MPI-timestep analogue, SURVEY.md §3.4; brick =
+        LAMMPS 3-D processor-grid role). Atoms migrate between domains at
+        re-decomposition time (host)."""
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from ..parallel import SlabDecomposition
+        from ..parallel import BrickDecomposition, SlabDecomposition
+
+        brick = self.strategy == "brick"
+
+        def _build(pos, mins):
+            common = dict(
+                skin=self.skin,
+                edge_multiple=self.edge_multiple,
+                dtype=np.float64 if self.dtype == np.float64 else np.float32,
+                min_owned_pad=mins["No"],
+                min_edges_pad=mins["El"],
+            )
+            if brick:
+                return BrickDecomposition(
+                    pos, self.types, self.cell, self.pbc, self.r_max,
+                    self.mesh, min_send_pad=mins["S"], **common,
+                )
+            return SlabDecomposition(
+                pos, self.types, self.cell, self.pbc, self.r_max,
+                self.mesh, min_send_pad=mins["S"], **common,
+            )
+
+        def _sizes(dd):
+            return (dd.No, tuple(dd.S) if brick else dd.S, dd.El)
 
         pos = np.asarray(state.positions, dtype=np.float64)
         vel = np.asarray(state.velocities, dtype=np.float64)
         dt = self.dt
         steps = self.steps_per_block
-        mins = getattr(self, "_slab_mins", {"No": 0, "S": 0, "El": 0})
+        empty = {"No": 0, "S": (0, 0, 0) if brick else 0, "El": 0}
+        mins = getattr(self, "_slab_mins", empty)
         done = 0
         dd = None
         block_fn = getattr(self, "_slab_block_fn", None)
@@ -339,25 +366,12 @@ class Simulation:
         while done < n_steps:
             if dd is None or self._needs_rebuild(pos):
                 pos = self._wrap(pos)
-                dd = SlabDecomposition(
-                    pos,
-                    self.types,
-                    self.cell,
-                    self.pbc,
-                    self.r_max,
-                    self.mesh,
-                    skin=self.skin,
-                    edge_multiple=self.edge_multiple,
-                    dtype=np.float64 if self.dtype == np.float64 else np.float32,
-                    min_owned_pad=mins["No"],
-                    min_send_pad=mins["S"],
-                    min_edges_pad=mins["El"],
-                )
+                dd = _build(pos, mins)
                 self.rebuilds += 1
-                if (dd.No, dd.S, dd.El) != (mins["No"], mins["S"], mins["El"]):
+                if _sizes(dd) != (mins["No"], mins["S"], mins["El"]):
                     if mins["No"]:
                         self.recompiles += 1
-                    mins = {"No": dd.No, "S": dd.S, "El": dd.El}
+                    mins = {"No": dd.No, "S": _sizes(dd)[1], "El": dd.El}
                     self._slab_mins = mins
                     block_fn = None
                 self._ref_positions = pos.copy()
@@ -367,7 +381,8 @@ class Simulation:
                 inv_m = np.zeros_like(masses_local)
                 np.divide(1.0, masses_local, out=inv_m, where=masses_local > 0)
                 dtp = dd.arrays["own_pos"].dtype
-                inv_m_j = jnp.asarray(inv_m, dtp)
+                mshape = tuple(int(s) for s in self.mesh.devices.shape)
+                inv_m_j = jnp.asarray(inv_m.reshape(mshape + (dd.No, 1)), dtp)
                 if block_fn is None:
                     # one compiled block serves all same-shape rebuilds: the
                     # halo/edge arrays and masses are ARGUMENTS, not constants
@@ -391,7 +406,7 @@ class Simulation:
                         e_pot, _ = raw(p, arrays)
                         return p, v, e_pot
 
-                    sh = NamedSharding(self.mesh, P("dp"))
+                    sh = NamedSharding(self.mesh, P(*self.mesh.axis_names))
                     rep = NamedSharding(self.mesh, P())
                     arr_sh = {k: sh for k in dd.arrays}
                     block_fn = jax.jit(
@@ -416,7 +431,7 @@ class Simulation:
 
     # --- public API ---
     def run(self, state: MDState, n_steps: int, callback: Optional[Callable] = None) -> MDState:
-        if self.strategy == "slab":
+        if self.strategy in ("slab", "brick"):
             return self._run_slab(state, n_steps, callback)
         pos = np.asarray(state.positions, dtype=np.float64)
         vel = np.asarray(state.velocities, dtype=np.float64)

@@ -7,6 +7,7 @@ here as slab decomposition with ghost-atom halo exchange expressed as
 ``shard_map`` + ``ppermute`` over ICI, replacing pair_allegro's MPI ranks.
 """
 
+from .brick import BrickDecomposition
 from .domain import SlabDecomposition
 
-__all__ = ["SlabDecomposition"]
+__all__ = ["BrickDecomposition", "SlabDecomposition"]

@@ -172,15 +172,26 @@ class SlabDecomposition:
                 g_idx_right = owned[right][sl_idx[right]]
                 ghost_types[d, :S] = atom_types[g_idx_left]
                 ghost_types[d, S:] = atom_types[g_idx_right]
-                ghost_mask[d, :S] = sr_mask[left]
-                ghost_mask[d, S:] = sl_mask[right]
+                m_left = sr_mask[left].copy()
+                m_right = sl_mask[right].copy()
+                # open (non-periodic) slab axis: the ring ppermute still
+                # wraps, but there IS no neighbor across an open face — an
+                # unmasked wrap ghost at its true position would DUPLICATE a
+                # direct ghost when the slab is narrower than 2 r_max (D=2)
+                if not pbc[self.axis]:
+                    if d == 0:
+                        m_left[:] = False
+                    if d == D - 1:
+                        m_right[:] = False
+                ghost_mask[d, :S] = m_left
+                ghost_mask[d, S:] = m_right
                 gpos = np.concatenate(
                     [
                         positions[g_idx_left] + ghost_shift[d, :S],
                         positions[g_idx_right] + ghost_shift[d, S:],
                     ]
                 )
-                gm = np.concatenate([sr_mask[left], sl_mask[right]])
+                gm = np.concatenate([m_left, m_right])
             else:
                 gpos = np.zeros((2 * S, 3))
                 gm = np.zeros(2 * S, bool)
