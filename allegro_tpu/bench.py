@@ -248,6 +248,115 @@ def run_train_bench(batch_size=16, steps=20, verbose=False):
     return batch_size / dt
 
 
+def run_lmax3_bench(n_atoms=4096, r_max=4.0, iters=10, warmup=2, verbose=False):
+    """µs/atom for the l_max=3 full-parity deep stack — BASELINE.json config 3
+    ("l_max=3 deep stack with full parity channels"), the O(l_max^6) stress
+    case (`/root/reference/docs/guide/allegro_model.rst:13`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from allegro_tpu.data import batch_frames, keys, to_jax
+    from allegro_tpu.model import AllegroModel
+
+    frame, n_atoms = _crystal_frame(n_atoms, r_max)
+    n_edges = frame[keys.EDGE_INDEX].shape[1]
+    batch = to_jax(batch_frames([frame], n_frames=1), dtype=np.float32)
+    model = AllegroModel(
+        r_max=r_max,
+        type_names=["A", "B", "C"],
+        l_max=3,
+        parity=True,
+        num_layers=2,
+        num_scalar_features=64,
+        num_tensor_features=32,
+        per_type_energy_scales=1.0,
+        per_type_energy_shifts=0.0,
+        avg_num_neighbors=n_edges / n_atoms,
+        model_dtype="float32",
+        tp_kernel_backend=os.environ.get("BENCH_BACKEND", "fused_infer"),
+    )
+    batch = model.precompute_statics(batch)
+    params = model.init(0, batch)
+
+    @jax.jit
+    def force_step(params, batch, d):
+        b = dict(batch)
+        b[keys.POSITIONS] = batch[keys.POSITIONS] + d
+        out = model.apply_with_derivatives(params, b)
+        return 1e-4 * out[keys.FORCES]
+
+    d = jnp.zeros_like(batch[keys.POSITIONS])
+    t0 = time.time()
+    d = force_step(params, batch, d)
+    _ = float(d.sum())
+    if verbose:
+        print(f"lmax3 compile+first: {time.time() - t0:.1f}s", file=sys.stderr)
+    for _ in range(warmup):
+        d = force_step(params, batch, d)
+    _ = float(d.sum())
+    t0 = time.time()
+    for _ in range(iters):
+        d = force_step(params, batch, d)
+    _ = float(d.sum())
+    return (time.time() - t0) / iters / n_atoms * 1e6
+
+
+def run_train_stress_bench(batch_size=4, n_atoms=64, steps=10, verbose=False):
+    """Train samples/sec on a multi-species PERIODIC batch with a stress term
+    in the loss — BASELINE.json config 2 ("multi-species periodic training
+    with stress"). Second-order AD through forces AND the strain derivative."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from allegro_tpu.data import batch_frames, keys, to_jax
+
+    frames = []
+    for s in range(batch_size):
+        f, _ = _crystal_frame(n_atoms, 4.0, seed=100 + s)
+        frames.append(f)
+    batch = to_jax(batch_frames(frames, n_frames=batch_size), dtype=np.float32)
+    n_edges = int(np.asarray(batch[keys.EDGE_MASK]).sum())
+    model = _flagship_model(
+        n_edges / (n_atoms * batch_size), backend="fused", r_max=4.0
+    )
+    params = model.init(0, batch)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    f_true = batch[keys.FORCES] if keys.FORCES in batch else jnp.zeros_like(
+        batch[keys.POSITIONS]
+    )
+    e_true = batch[keys.TOTAL_ENERGY].reshape(-1) if keys.TOTAL_ENERGY in batch else jnp.zeros((batch_size,), jnp.float32)
+    s_true = jnp.zeros((batch_size, 3, 3), jnp.float32)
+
+    @jax.jit
+    def step(params, opt_state, _k):
+        def loss_fn(p):
+            out = model.apply_with_derivatives(params=p, data=batch)
+            fmask = batch[keys.NODE_MASK].astype(jnp.float32)[:, None]
+            floss = jnp.sum(fmask * (out[keys.FORCES] - f_true) ** 2) / jnp.sum(fmask) / 3
+            eloss = jnp.mean((out[keys.TOTAL_ENERGY].reshape(-1) - e_true) ** 2)
+            sloss = jnp.mean((out[keys.STRESS] - s_true) ** 2)
+            return floss + eloss + 0.1 * sloss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    t0 = time.time()
+    params, opt_state, loss = step(params, opt_state, 0)
+    _ = float(loss)
+    if verbose:
+        print(f"stress-train compile+first: {time.time() - t0:.1f}s", file=sys.stderr)
+    params, opt_state, loss = step(params, opt_state, 1)
+    _ = float(loss)
+    t0 = time.time()
+    for k in range(steps):
+        params, opt_state, loss = step(params, opt_state, k)
+    _ = float(loss)
+    return batch_size / ((time.time() - t0) / steps)
+
+
 def _save_pytree(path, tree):
     import jax
 

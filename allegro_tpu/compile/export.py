@@ -69,6 +69,16 @@ def export_model(
             keys.EDGE_MASK: edge_mask,
         }
         out = model.apply_with_derivatives(params, data)
+        if keys.VIRIAL in tgt.outputs and keys.VIRIAL not in out:
+            # ghost-format (open-boundary) virial: E is translation-invariant,
+            # so dE/dε under x' = x(I+ε) is the fdotr sum Σᵢ rᵢ ⊗ (∂E/∂rᵢ),
+            # i.e. VIRIAL = -dE/dε = Σᵢ rᵢ ⊗ fᵢ over real + ghost rows — the
+            # same quantity LAMMPS' virial_fdotr_compute accumulates from
+            # pair_allegro's forces (reference docs/guide/lammps.md)
+            f = out[keys.FORCES]
+            out[keys.VIRIAL] = jnp.einsum(
+                "na,nb->ab", positions.astype(f.dtype), f, precision="highest"
+            )[None]
         return tuple(out[k] for k in tgt.outputs)
 
     # plain-dict params: a stable pytree type that the artifact can rebuild

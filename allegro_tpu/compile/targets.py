@@ -119,3 +119,16 @@ register_compile_target(
         data_settings=_single_frame_settings,
     )
 )
+
+# + per-frame virial (Σ rᵢ⊗fᵢ over real+ghost rows — exact in ghost format;
+# stress = -virial / volume, computed by the consumer who knows the cell).
+# The role of the reference's ForceStressOutput in deployment
+# (allegro/model/allegro_models.py:103) / LAMMPS virial_fdotr_compute.
+register_compile_target(
+    CompileTarget(
+        name="pair_allegro_stress",
+        inputs=(keys.POSITIONS, keys.EDGE_INDEX, keys.ATOM_TYPES),
+        outputs=MD_ENGINE_OUTPUTS + (keys.VIRIAL,),
+        data_settings=_single_frame_settings,
+    )
+)

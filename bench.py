@@ -21,7 +21,13 @@ try:
 except Exception:
     pass
 
-from allegro_tpu.bench import run_benchmark, run_parity, run_train_bench
+from allegro_tpu.bench import (
+    run_benchmark,
+    run_lmax3_bench,
+    run_parity,
+    run_train_bench,
+    run_train_stress_bench,
+)
 from allegro_tpu.utils.chiplock import chip_lock
 
 if __name__ == "__main__":
@@ -48,6 +54,20 @@ if __name__ == "__main__":
                 )
             except Exception as e:
                 result["extra"]["train_samples_per_sec_error"] = str(e)[:300]
+            try:
+                # BASELINE.json config 3: l_max=3 full-parity deep stack
+                result["extra"]["us_per_atom_lmax3"] = round(
+                    run_lmax3_bench(verbose=verbose), 4
+                )
+            except Exception as e:
+                result["extra"]["us_per_atom_lmax3_error"] = str(e)[:300]
+            try:
+                # BASELINE.json config 2: multi-species periodic + stress loss
+                result["extra"]["train_stress_samples_per_sec"] = round(
+                    run_train_stress_bench(verbose=verbose), 2
+                )
+            except Exception as e:
+                result["extra"]["train_stress_samples_per_sec_error"] = str(e)[:300]
             try:
                 mae, rel = run_parity(verbose=verbose)
                 result["extra"]["force_mae_vs_f64"] = float(f"{mae:.3e}")

@@ -12,12 +12,22 @@
 //              [--out-prefix traj_] [--option key=value]...
 //
 //   system.npz: positions [N,3] f8, types [N] i4, masses [N] f8,
-//               optional velocities [N,3] f8.
+//               optional velocities [N,3] f8, optional cell [3,3] f8 (rows
+//               are lattice vectors) + pbc [3] i4/b1 for periodic systems.
 //   Artifact contract (meta.json): inputs (params..., positions[Na,3]f4,
 //   edge_index[2,Ne]i4, atom_types[Na]i4, node_mask[Na]b1, edge_mask[Ne]b1),
-//   outputs (atomic_energy, forces, total_energy). Open-boundary systems
-//   (PBC needs the ghost-atom data conversion — compile/targets.py — which
-//   a LAMMPS-style integration would perform).
+//   outputs (atomic_energy, forces, total_energy).
+//
+//   Periodic boundaries run through the ghost-atom conversion (the LAMMPS /
+//   pair_allegro data contract, reference allegro/_compile.py:28-63, mirrored
+//   from compile/targets.py): at every re-neighboring, each distinct
+//   (neighbor, nonzero cell shift) pair becomes a ghost row appended after
+//   the N real atoms (owner's type, node_mask=1 so the model emits its
+//   force); edges are rewired to the ghosts. Every step the ghost positions
+//   are refreshed as pos[owner] + shift·cell, and ghost forces are collapsed
+//   back onto their owners. The reported energy is the per-atom energy
+//   summed over REAL rows only (ghost rows carry a spurious per-type shift
+//   constant by construction).
 //
 //   --selftest runs the artifact/npz parsing and the integrator against an
 //   analytic harmonic force field (no PJRT needed) — the CI-testable part.
@@ -28,6 +38,7 @@
 #include <dlfcn.h>
 
 #include <algorithm>
+#include <array>
 #include <cassert>
 #include <cmath>
 #include <cstdint>
@@ -234,6 +245,20 @@ int64_t json_int(const std::string& s, const std::string& key) {
   return std::atoll(s.c_str() + p + 1);
 }
 
+// number of strings in a flat JSON array field, e.g. "outputs": ["a", "b"]
+int64_t json_list_len(const std::string& s, const std::string& key) {
+  auto p = s.find("\"" + key + "\"");
+  if (p == std::string::npos) die("meta.json: missing " + key);
+  auto lb = s.find('[', p);
+  auto rb = s.find(']', lb);
+  if (lb == std::string::npos || rb == std::string::npos)
+    die("meta.json: bad list " + key);
+  int64_t count = 0;
+  for (size_t i = lb; i < rb; ++i)
+    if (s[i] == '"') count++;
+  return count / 2;
+}
+
 // ---------------------------------------------------------------------------
 // PJRT C API wrapper
 // ---------------------------------------------------------------------------
@@ -410,7 +435,48 @@ struct System {
   std::vector<double> vel;    // [N,3]
   std::vector<double> mass;   // [N]
   std::vector<int32_t> types; // [N]
+  double cell[9] = {0, 0, 0, 0, 0, 0, 0, 0, 0};  // rows = lattice vectors
+  int pbc[3] = {0, 0, 0};
+  bool periodic = false;
 };
+
+// 3x3 inverse (rows are lattice vectors); false on singular
+bool invert3x3(const double* a, double* inv) {
+  double det = a[0] * (a[4] * a[8] - a[5] * a[7]) -
+               a[1] * (a[3] * a[8] - a[5] * a[6]) +
+               a[2] * (a[3] * a[7] - a[4] * a[6]);
+  if (std::fabs(det) < 1e-300) return false;
+  double id = 1.0 / det;
+  inv[0] = (a[4] * a[8] - a[5] * a[7]) * id;
+  inv[1] = (a[2] * a[7] - a[1] * a[8]) * id;
+  inv[2] = (a[1] * a[5] - a[2] * a[4]) * id;
+  inv[3] = (a[5] * a[6] - a[3] * a[8]) * id;
+  inv[4] = (a[0] * a[8] - a[2] * a[6]) * id;
+  inv[5] = (a[2] * a[3] - a[0] * a[5]) * id;
+  inv[6] = (a[3] * a[7] - a[4] * a[6]) * id;
+  inv[7] = (a[1] * a[6] - a[0] * a[7]) * id;
+  inv[8] = (a[0] * a[4] - a[1] * a[3]) * id;
+  return true;
+}
+
+// wrap positions into the cell along periodic axes (re-neighboring time
+// only — mirrors the Python Simulation's rebuild-time wrap)
+void wrap_positions(System& s) {
+  if (!s.periodic) return;
+  double inv[9];
+  if (!invert3x3(s.cell, inv)) die("singular cell");
+  for (int64_t a = 0; a < s.n; ++a) {
+    double f[3];
+    for (int k = 0; k < 3; ++k)
+      f[k] = s.pos[3 * a + 0] * inv[0 + k] + s.pos[3 * a + 1] * inv[3 + k] +
+             s.pos[3 * a + 2] * inv[6 + k];
+    for (int k = 0; k < 3; ++k)
+      if (s.pbc[k]) f[k] -= std::floor(f[k]);
+    for (int k = 0; k < 3; ++k)
+      s.pos[3 * a + k] = f[0] * s.cell[0 + k] + f[1] * s.cell[3 + k] +
+                         f[2] * s.cell[6 + k];
+  }
+}
 
 System load_system(const std::string& path) {
   auto npz = parse_npz(read_file(path));
@@ -433,6 +499,27 @@ System load_system(const std::string& path) {
   } else {
     s.vel.assign(3 * s.n, 0.0);
   }
+  if (npz.count("cell")) {
+    auto& c = npz.at("cell");
+    if (c.descr != "<f8" || c.numel() != 9) die("init: cell must be [3,3] f8");
+    std::memcpy(s.cell, c.data.data(), sizeof(s.cell));
+    if (npz.count("pbc")) {
+      auto& p3 = npz.at("pbc");
+      for (int k = 0; k < 3; ++k) {
+        if (p3.descr == "<i4")
+          s.pbc[k] = reinterpret_cast<const int32_t*>(p3.data.data())[k] != 0;
+        else if (p3.descr == "<i8")
+          s.pbc[k] = reinterpret_cast<const int64_t*>(p3.data.data())[k] != 0;
+        else if (p3.descr == "|b1")
+          s.pbc[k] = p3.data[k] != 0;
+        else
+          die("init: pbc must be i4/i8/b1");
+      }
+    } else {
+      s.pbc[0] = s.pbc[1] = s.pbc[2] = 1;
+    }
+    s.periodic = s.pbc[0] || s.pbc[1] || s.pbc[2];
+  }
   return s;
 }
 
@@ -443,10 +530,20 @@ struct EdgeSet {
   int64_t n_real = 0;
 };
 
+// ghost atoms appended after the N real rows (periodic systems): the
+// ghost-atom data contract of compile/targets.py `ghost_atom_conversion`
+// (reference allegro/_compile.py:28-63)
+struct GhostSet {
+  std::vector<int32_t> owner;      // [G] owning real atom
+  std::vector<double> shift_cart;  // [G*3] shift @ cell (Cartesian)
+};
+
 EdgeSet build_edges(const System& s, double r_max, int64_t n_edges_pad,
-                    int64_t sentinel) {
-  double cell[9] = {1e6, 0, 0, 0, 1e6, 0, 0, 0, 1e6};  // open boundary box
-  int pbc[3] = {0, 0, 0};
+                    int64_t sentinel, GhostSet& ghosts) {
+  double open_cell[9] = {1e6, 0, 0, 0, 1e6, 0, 0, 0, 1e6};
+  int open_pbc[3] = {0, 0, 0};
+  const double* cell = s.periodic ? s.cell : open_cell;
+  const int* pbc = s.periodic ? s.pbc : open_pbc;
   int64_t cap = n_edges_pad;
   std::vector<int> oi(cap), oj(cap);
   std::vector<double> oshift(3 * cap);
@@ -457,6 +554,38 @@ EdgeSet build_edges(const System& s, double r_max, int64_t n_edges_pad,
       die("edge overflow: need " + std::to_string(-ne) + " > artifact n_edges " +
           std::to_string(n_edges_pad));
     die("neighbor list error");
+  }
+  // ghost conversion: every distinct (neighbor, nonzero integer shift) pair
+  // becomes one ghost row; edges are rewired to the ghosts
+  ghosts.owner.clear();
+  ghosts.shift_cart.clear();
+  std::vector<int32_t> newj(ne);
+  if (s.periodic) {
+    std::map<std::array<int64_t, 4>, int32_t> gmap;
+    for (int64_t k = 0; k < ne; ++k) {
+      int64_t sx = llround(oshift[3 * k]), sy = llround(oshift[3 * k + 1]),
+              sz = llround(oshift[3 * k + 2]);
+      if (sx == 0 && sy == 0 && sz == 0) {
+        newj[k] = oj[k];
+        continue;
+      }
+      std::array<int64_t, 4> key = {oj[k], sx, sy, sz};
+      auto it = gmap.find(key);
+      if (it == gmap.end()) {
+        int32_t gid = int32_t(s.n + int64_t(ghosts.owner.size()));
+        gmap.emplace(key, gid);
+        ghosts.owner.push_back(oj[k]);
+        for (int m = 0; m < 3; ++m)
+          ghosts.shift_cart.push_back(double(sx) * s.cell[0 + m] +
+                                      double(sy) * s.cell[3 + m] +
+                                      double(sz) * s.cell[6 + m]);
+        newj[k] = gid;
+      } else {
+        newj[k] = it->second;
+      }
+    }
+  } else {
+    for (int64_t k = 0; k < ne; ++k) newj[k] = oj[k];
   }
   // stable sort by center
   std::vector<int64_t> order(ne);
@@ -469,7 +598,7 @@ EdgeSet build_edges(const System& s, double r_max, int64_t n_edges_pad,
   es.edge_mask.assign(n_edges_pad, 0);
   for (int64_t k = 0; k < ne; ++k) {
     es.eidx[k] = oi[order[k]];
-    es.eidx[n_edges_pad + k] = oj[order[k]];
+    es.eidx[n_edges_pad + k] = newj[order[k]];
     es.edge_mask[k] = 1;
   }
   return es;
@@ -561,25 +690,26 @@ int main(int argc, char** argv) {
     else die("unsupported param dtype " + a.descr);
     param_bufs[i] = pj.to_device(a.data.data(), t, a.shape);
   }
+  // types / node_mask are rebuilt at every re-neighboring for periodic
+  // systems (the ghost count changes); buffers start empty
   std::vector<int32_t> types_pad(n_atoms_pad, 0);
   std::vector<uint8_t> node_mask(n_atoms_pad, 0);
-  for (int64_t i = 0; i < sys.n; ++i) {
-    types_pad[i] = sys.types[i];
-    node_mask[i] = 1;
-  }
-  PJRT_Buffer* types_buf =
-      pj.to_device(types_pad.data(), PJRT_Buffer_Type_S32, {n_atoms_pad});
-  PJRT_Buffer* nmask_buf =
-      pj.to_device(node_mask.data(), PJRT_Buffer_Type_PRED, {n_atoms_pad});
+  PJRT_Buffer* types_buf = nullptr;
+  PJRT_Buffer* nmask_buf = nullptr;
 
   // --- MD loop ---
   size_t num_args = size_t(n_params) + 5;
-  size_t num_outputs = 3;  // atomic_energy, forces, total_energy
+  // 3 (atomic_energy, forces, total_energy) or 4 (+virial: the
+  // pair_allegro_stress target)
+  size_t num_outputs = size_t(json_list_len(meta, "outputs"));
+  if (num_outputs < 3) die("artifact declares fewer than 3 outputs");
   std::vector<float> pos_f(n_atoms_pad * 3, 0.0f);
   std::vector<float> forces_f(n_atoms_pad * 3);
+  std::vector<float> aenergy_f(n_atoms_pad);
   std::vector<double> force(3 * sys.n, 0.0), force_new(3 * sys.n);
   std::vector<double> ref_pos;
   EdgeSet edges;
+  GhostSet ghosts;
   PJRT_Buffer* eidx_buf = nullptr;
   PJRT_Buffer* emask_buf = nullptr;
   int64_t rebuilds = 0;
@@ -596,7 +726,26 @@ int main(int argc, char** argv) {
   };
 
   auto rebuild = [&]() {
-    edges = build_edges(sys, r_max + skin, n_edges_pad, n_atoms_pad);
+    wrap_positions(sys);  // re-neighboring-time wrap (periodic only)
+    edges = build_edges(sys, r_max + skin, n_edges_pad, n_atoms_pad, ghosts);
+    int64_t G = int64_t(ghosts.owner.size());
+    if (sys.n + G > n_atoms_pad)
+      die("atoms + ghosts (" + std::to_string(sys.n + G) +
+          ") exceed artifact n_atoms " + std::to_string(n_atoms_pad));
+    std::fill(types_pad.begin(), types_pad.end(), 0);
+    std::fill(node_mask.begin(), node_mask.end(), 0);
+    for (int64_t i = 0; i < sys.n; ++i) {
+      types_pad[i] = sys.types[i];
+      node_mask[i] = 1;  // ghosts too: forces are NODE_MASK-gated on device
+    }
+    for (int64_t g = 0; g < G; ++g) {
+      types_pad[sys.n + g] = sys.types[ghosts.owner[g]];
+      node_mask[sys.n + g] = 1;
+    }
+    pj.destroy(types_buf);
+    pj.destroy(nmask_buf);
+    types_buf = pj.to_device(types_pad.data(), PJRT_Buffer_Type_S32, {n_atoms_pad});
+    nmask_buf = pj.to_device(node_mask.data(), PJRT_Buffer_Type_PRED, {n_atoms_pad});
     pj.destroy(eidx_buf);
     pj.destroy(emask_buf);
     eidx_buf = pj.to_device(edges.eidx.data(), PJRT_Buffer_Type_S32, {2, n_edges_pad});
@@ -606,8 +755,18 @@ int main(int argc, char** argv) {
   };
 
   double total_energy = 0.0;
+  double virial[9] = {0};  // Σ rᵢ⊗fᵢ over real+ghost rows (fdotr, LAMMPS form)
   auto eval_forces = [&](std::vector<double>& f_out) {
+    int64_t G = int64_t(ghosts.owner.size());
     for (int64_t i = 0; i < 3 * sys.n; ++i) pos_f[i] = float(sys.pos[i]);
+    // ghost coordinates refresh EVERY step from the current owner positions
+    // (the edge list and ghost identities are static between rebuilds)
+    for (int64_t g = 0; g < G; ++g) {
+      int64_t o = ghosts.owner[g];
+      for (int m = 0; m < 3; ++m)
+        pos_f[3 * (sys.n + g) + m] =
+            float(sys.pos[3 * o + m] + ghosts.shift_cart[3 * g + m]);
+    }
     PJRT_Buffer* pos_buf = pj.to_device(pos_f.data(), PJRT_Buffer_Type_F32, {n_atoms_pad, 3});
     std::vector<PJRT_Buffer*> args(num_args);
     for (int64_t i = 0; i < n_params; ++i) args[i] = param_bufs[i];
@@ -637,12 +796,28 @@ int main(int argc, char** argv) {
     pj.await(done[0], "execute done");
     // outputs: [0] atomic_energy [Na,1], [1] forces [Na,3], [2] total_energy
     pj.to_host(outs[1], forces_f.data(), forces_f.size() * sizeof(float), 2);
-    float te[4] = {0, 0, 0, 0};
-    pj.to_host(outs[2], te, sizeof(float));
-    total_energy = te[0];
+    // energy = Σ atomic_energy over REAL rows: ghost rows carry a spurious
+    // per-type shift constant (ghost node_mask must stay 1 for forces)
+    pj.to_host(outs[0], aenergy_f.data(), aenergy_f.size() * sizeof(float), 2);
+    total_energy = 0.0;
+    for (int64_t i = 0; i < sys.n; ++i) total_energy += double(aenergy_f[i]);
     for (size_t k = 0; k < num_outputs; ++k) pj.destroy(outs[k]);
     pj.destroy(pos_buf);
     for (int64_t i = 0; i < 3 * sys.n; ++i) f_out[i] = double(forces_f[i]);
+    // ghost-force collapse onto owners (pair_allegro's MPI force return,
+    // here a host-side segment add)
+    for (int64_t g = 0; g < G; ++g) {
+      int64_t o = ghosts.owner[g];
+      for (int m = 0; m < 3; ++m)
+        f_out[3 * o + m] += double(forces_f[3 * (sys.n + g) + m]);
+    }
+    // virial (fdotr over real + UNCOLLAPSED ghost rows — exact for the
+    // translation-invariant ghost-format energy; stress = -virial / volume)
+    std::fill(virial, virial + 9, 0.0);
+    for (int64_t i = 0; i < sys.n + G; ++i)
+      for (int a = 0; a < 3; ++a)
+        for (int b = 0; b < 3; ++b)
+          virial[3 * a + b] += double(pos_f[3 * i + a]) * double(forces_f[3 * i + b]);
   };
 
   rebuild();
@@ -677,6 +852,7 @@ int main(int argc, char** argv) {
   }
   write_npy(out_prefix + "positions.npy", sys.pos.data(), {sys.n, 3}, "<f8");
   write_npy(out_prefix + "velocities.npy", sys.vel.data(), {sys.n, 3}, "<f8");
+  write_npy(out_prefix + "virial.npy", virial, {3, 3}, "<f8");
   if (!traj.empty())
     write_npy(out_prefix + "trajectory.npy", traj.data(),
               {int64_t(traj.size() / (3 * sys.n)), sys.n, 3}, "<f4");

@@ -149,4 +149,112 @@ x_drv = np.load(os.path.join(td, "run_positions.npy"))
 err = np.abs(x_drv - x).max()
 print(f"{STEPS}-step trajectory: driver vs python  max_err={err:.3e}")
 assert err < 1e-4, "trajectory mismatch"
+
+# ===========================================================================
+# periodic crystal: the driver's ghost-atom path (C++ mirror of the
+# compile/targets.py conversion — pair_allegro's bread-and-butter workload)
+# ===========================================================================
+print("--- periodic crystal (ghost-atom path) ---")
+SIDE, A0 = 3, 1.8  # nearest neighbor 1.8 < r_max 2.0: edges exist (incl. wrap)
+NP_ = SIDE**3
+NP_PAD = 192  # reals + ghosts
+NE_PAD = 2048
+cell = np.eye(3) * (SIDE * A0)
+gridp = np.stack(
+    np.meshgrid(*(np.arange(SIDE),) * 3, indexing="ij"), -1
+).reshape(-1, 3).astype(np.float64)
+posp0 = gridp * A0 + 0.55 + 0.05 * rng.randn(NP_, 3)  # well inside the cell
+typesp = rng.randint(0, 2, NP_).astype(np.int32)
+massesp = np.where(typesp == 0, 1.0, 2.0)
+velp0 = 0.05 * rng.randn(NP_, 3)  # real motion: wraps + re-neighboring happen
+
+artp = os.path.join(td, "model_periodic.atpu")
+blobp = export_model(model, params, n_atoms=NP_PAD, n_edges=NE_PAD)
+open(artp, "wb").write(blobp)
+initp = os.path.join(td, "init_periodic.npz")
+np.savez(
+    initp,
+    positions=posp0,
+    types=typesp,
+    masses=massesp,
+    velocities=velp0,
+    cell=cell,
+    pbc=np.ones(3, np.int32),
+)
+
+cmdp = [
+    binary, "--artifact", artp, "--plugin", "/opt/axon/libaxon_pjrt.so",
+    "--init", initp, "--steps", str(STEPS), "--dt", str(DT), "--skin", str(SKIN),
+    "--out-prefix", os.path.join(td, "per_"), "--dump-every", "10",
+] + opts[:-2] + ["--option", f"session_id={uuid.uuid4()}", "--option", "rank=4294967295"]
+procp = subprocess.run(cmdp, env=env, capture_output=True, text=True, timeout=1200)
+print(procp.stderr[-1500:])
+if procp.returncode != 0:
+    print(procp.stdout[-2000:])
+    sys.exit(f"periodic driver failed rc={procp.returncode}")
+print(procp.stdout.strip())
+
+
+def model_forces_periodic(x):
+    fr = neighbor_list(
+        {keys.POSITIONS: x, keys.ATOM_TYPES: typesp,
+         keys.CELL: cell, keys.PBC: np.ones(3, bool)},
+        R_MAX + SKIN,
+    )
+    d = to_jax(
+        batch_frames([fr], n_atoms=NP_PAD, n_edges=NE_PAD, n_frames=1),
+        np.float32,
+    )
+    out = jax.jit(lambda p, b: model.apply_with_derivatives(p, b))(params, d)
+    return (
+        np.asarray(out[keys.FORCES], np.float64)[:NP_],
+        float(np.asarray(out[keys.PER_ATOM_ENERGY], np.float64)[:NP_].sum()),
+    )
+
+
+x = posp0.copy()
+v = velp0.copy()
+f, e0_model = model_forces_periodic(x)
+for s in range(STEPS):
+    x = x + DT * v + 0.5 * DT**2 / massesp[:, None] * f
+    fn, _ = model_forces_periodic(x)
+    v = v + 0.5 * DT / massesp[:, None] * (f + fn)
+    f = fn
+
+e0_driver = None
+for line in procp.stderr.splitlines():
+    if "step 0 E=" in line:
+        e0_driver = float(line.split("E=")[1])
+print(f"step-0 energy: driver {e0_driver:.6f} vs model {e0_model:.6f}")
+assert abs(e0_model) > 1e-6, "vacuous periodic check: zero energy (no edges?)"
+assert abs(e0_driver - e0_model) < 1e-3 * max(abs(e0_model), 1.0), "energy mismatch"
+
+x_drvp = np.load(os.path.join(td, "per_positions.npy"))
+assert np.abs(x - posp0).max() > 1e-4, "vacuous check: nothing moved"
+# the driver wraps at re-neighboring; compare via minimum-image displacement
+df = (x_drvp - x) @ np.linalg.inv(cell)
+df -= np.round(df)
+errp = np.abs(df @ cell).max()
+v_drvp = np.load(os.path.join(td, "per_velocities.npy"))
+errv = np.abs(v_drvp - v).max()
+print(f"{STEPS}-step periodic trajectory: max_err={errp:.3e} vel_err={errv:.3e}")
+assert errp < 1e-4, "periodic trajectory mismatch"
+assert errv < 1e-4, "periodic velocity mismatch"
+
+# virial: driver's fdotr (real+ghost rows) vs the model's strain derivative
+# at the shared final state
+w_drv = np.load(os.path.join(td, "per_virial.npy"))
+fr_fin = neighbor_list(
+    {keys.POSITIONS: x_drvp, keys.ATOM_TYPES: typesp,
+     keys.CELL: cell, keys.PBC: np.ones(3, bool)},
+    R_MAX + SKIN,
+)
+d_fin = to_jax(
+    batch_frames([fr_fin], n_atoms=NP_PAD, n_edges=NE_PAD, n_frames=1), np.float32
+)
+out_fin = jax.jit(lambda p, b: model.apply_with_derivatives(p, b))(params, d_fin)
+w_model = np.asarray(out_fin[keys.VIRIAL], np.float64).reshape(3, 3)
+errw = np.abs(w_drv - w_model).max() / max(np.abs(w_model).max(), 1e-10)
+print(f"virial: driver fdotr vs model strain-derivative  rel_err={errw:.3e}")
+assert errw < 1e-2, "virial mismatch"
 print("MD driver parity OK")

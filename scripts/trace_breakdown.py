@@ -24,10 +24,16 @@ BACKEND = sys.argv[2] if len(sys.argv) > 2 else "fused_infer"
 from allegro_tpu.bench import _crystal_frame, _flagship_model
 from allegro_tpu.data import batch_frames, keys, to_jax
 
+from allegro_tpu.utils.chiplock import chip_lock
+
+_guard = chip_lock(timeout=3600)
+_guard.__enter__()
+
 frame, n_atoms = _crystal_frame(N, 4.0)
 E = frame[keys.EDGE_INDEX].shape[1]
 batch = to_jax(batch_frames([frame], n_frames=1), dtype=np.float32)
 model = _flagship_model(E / n_atoms, BACKEND)
+batch = model.precompute_statics(batch)  # match the bench configuration
 params = model.init(0, batch)
 print(f"N={n_atoms} E={E} backend={BACKEND} dev={jax.devices()[0]}", file=sys.stderr)
 
