@@ -73,8 +73,12 @@ def _flagship_model(avg_num_neighbors, backend, r_max=4.0, remat=False,
         tensor_dtype = os.environ.get("BENCH_TENSOR_DTYPE") or None
         if tensor_dtype in ("none", "float32"):
             tensor_dtype = None
+    extra = {}
+    if os.environ.get("BENCH_PRECISION"):  # e.g. "high": 3-pass bf16 matmuls
+        extra["precision"] = os.environ["BENCH_PRECISION"]
     return AllegroModel(
         **_FLAGSHIP,
+        **extra,
         avg_num_neighbors=avg_num_neighbors,
         model_dtype="float32",
         tp_kernel_backend=backend,

@@ -45,6 +45,17 @@ FUSED_WIN = "fused_win"               # [NB] int32 — fused-kernel window indic
 # so rank row r == atom r and the rank-window kernels can serve atom-indexed
 # gather/scatter (forces accumulation, energy reduction)
 CENTER_RANK_IDENTITY = "center_rank_identity"
+# neighbor-sorted twin plan: block plan over edges re-sorted by NEIGHBOR atom
+# plus the (static) sorting permutation and its inverse. Routes the
+# neighbor-side of the edge-vector VJP (force accumulation at the neighbor
+# atom) through the rank-window kernels instead of an XLA row scatter-add
+# (~0.7 ms/step at production edge counts). Valid when neighbors also cover
+# atoms 0..max contiguously (marker key NBR_RANK_IDENTITY, value unused).
+FUSED_OFFS_NBR = "fused_offs_nbr"     # [NB*8, eb] int32
+FUSED_WIN_NBR = "fused_win_nbr"       # [NB] int32
+NBR_PERM = "nbr_perm"                 # [Ep] int32 — center-order → nbr-sorted
+NBR_PERM_INV = "nbr_perm_inv"         # [Ep] int32 — inverse permutation
+NBR_RANK_IDENTITY = "nbr_rank_identity"
 
 # --- per-frame ---
 CELL = "cell"                         # [F, 3, 3] float (rows are lattice vectors)

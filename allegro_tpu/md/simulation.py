@@ -224,6 +224,24 @@ class Simulation:
                 np.unique(i), np.arange(int(i.max()) + 1)
             ):
                 static[keys.CENTER_RANK_IDENTITY] = np.ones((1,), bool)
+            if D == 1 and E:
+                # neighbor-sorted twin plan (see Model.precompute_statics)
+                from ..nn.allegro import FUSED_BLOCK_EDGES as _EB
+
+                Ep1 = -(-bucket // _EB) * _EB
+                nbr_p = np.concatenate(
+                    [eidx[1], np.full(Ep1 - bucket, self.n_atoms, np.int32)]
+                ).astype(np.int64)
+                order2 = np.argsort(nbr_p, kind="stable").astype(np.int32)
+                w2, o2, _ = make_block_plan_np(nbr_p[order2], _EB, self.n_atoms)
+                inv2 = np.empty_like(order2)
+                inv2[order2] = np.arange(Ep1, dtype=np.int32)
+                static[keys.FUSED_OFFS_NBR] = o2[None]
+                static[keys.FUSED_WIN_NBR] = w2[None]
+                static[keys.NBR_PERM] = order2[None]
+                static[keys.NBR_PERM_INV] = inv2[None]
+                if np.array_equal(np.unique(j), np.arange(int(j.max()) + 1)):
+                    static[keys.NBR_RANK_IDENTITY] = np.ones((1,), bool)
         if self.cell is not None:
             static[keys.CELL] = np.broadcast_to(self.cell[None], (1, 3, 3))
             static[keys.PBC] = self.pbc[None]
@@ -264,6 +282,11 @@ class Simulation:
                     keys.FUSED_OFFS,
                     keys.FUSED_WIN,
                     keys.CENTER_RANK_IDENTITY,
+                    keys.FUSED_OFFS_NBR,
+                    keys.FUSED_WIN_NBR,
+                    keys.NBR_PERM,
+                    keys.NBR_PERM_INV,
+                    keys.NBR_RANK_IDENTITY,
                 ):
                     if k in shard:
                         data[k] = shard[k]

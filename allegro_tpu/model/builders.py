@@ -141,7 +141,7 @@ class Model:
             from ..nn.allegro import FUSED_BLOCK_EDGES
             from ..ops.fused_tp import make_block_plan_np
 
-            win, offs, _ = make_block_plan_np(centers, FUSED_BLOCK_EDGES, n_atoms)
+            win, offs, Ep = make_block_plan_np(centers, FUSED_BLOCK_EDGES, n_atoms)
             out[keys.FUSED_OFFS] = jnp.asarray(offs)
             out[keys.FUSED_WIN] = jnp.asarray(win)
             real = centers[centers < n_atoms]
@@ -151,6 +151,26 @@ class Model:
                 # rank row r == atom r: the rank-window kernels can serve
                 # atom-indexed gather/scatter (forces, energy reduction)
                 out[keys.CENTER_RANK_IDENTITY] = jnp.ones((), jnp.bool_)
+            # neighbor-sorted twin plan: the NEIGHBOR side of the edge-vector
+            # VJP rides the same kernels via a static sort permutation
+            nbr_p = np.concatenate(
+                [neighbors, np.full(Ep - len(neighbors), n_atoms, neighbors.dtype)]
+            ).astype(np.int64)
+            order = np.argsort(nbr_p, kind="stable").astype(np.int32)
+            win2, offs2, _ = make_block_plan_np(
+                nbr_p[order], FUSED_BLOCK_EDGES, n_atoms
+            )
+            out[keys.FUSED_OFFS_NBR] = jnp.asarray(offs2)
+            out[keys.FUSED_WIN_NBR] = jnp.asarray(win2)
+            out[keys.NBR_PERM] = jnp.asarray(order)
+            inv = np.empty_like(order)
+            inv[order] = np.arange(Ep, dtype=np.int32)
+            out[keys.NBR_PERM_INV] = jnp.asarray(inv)
+            real_n = neighbors[neighbors < n_atoms]
+            if real_n.size and np.array_equal(
+                np.unique(real_n), np.arange(int(real_n.max()) + 1)
+            ):
+                out[keys.NBR_RANK_IDENTITY] = jnp.ones((), jnp.bool_)
         return out
 
     def apply(self, params, data: Dict) -> Dict:
@@ -274,6 +294,11 @@ def FullAllegroEnergyModel(
     # reference default allow_tf32=false (configs/tutorial.yaml:166-167):
     # full-f32 matmuls everywhere in the model. True = fast MXU semantics.
     allow_tf32: bool = False,
+    # explicit matmul precision override ("highest" = exact-f32 6-pass,
+    # "high" = 3-pass bf16 split ~1e-7 rel err at half the MXU cost,
+    # None = respect allow_tf32). Applies to the MLP/embed dots; the fused
+    # TP kernels keep their own exact one-hot algebra.
+    precision: Optional[str] = None,
     **_unused,
 ) -> Model:
     _kwargs = {k: v for k, v in locals().items() if k not in ("_unused",)}
@@ -289,7 +314,7 @@ def FullAllegroEnergyModel(
     else:
         irreps_sh = Irreps(str(irreps_edge_sh))
     avg_n = float(avg_num_neighbors) if avg_num_neighbors is not None else 1.0
-    prec = None if allow_tf32 else "highest"
+    prec = precision if precision is not None else (None if allow_tf32 else "highest")
     embed_dim = (
         int(radial_chemical_embed_dim)
         if radial_chemical_embed_dim is not None

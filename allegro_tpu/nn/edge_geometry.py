@@ -39,7 +39,21 @@ def with_edge_vectors(data: Dict, recompute: bool = False) -> Dict:
         eb = offs.shape[1]
         Ep = offs.shape[0] // 8 * eb
         pos_c = center_gather(pos, offs, win, eb=eb, n_edges=Ep)[:E]
-        vec = jnp.take(pos, neighbors, axis=0, mode="clip") - pos_c.astype(pos.dtype)
+        if keys.NBR_RANK_IDENTITY in data and keys.FUSED_OFFS_NBR in data:
+            # neighbor side through the kernels too, via the static
+            # neighbor-sort permutation: the VJP becomes perm-take +
+            # rank-window scatter instead of an XLA row scatter-add
+            # (~0.7 ms/step at production edge counts)
+            from ..ops.fused_primitives import perm_rows
+
+            offs2, win2 = data[keys.FUSED_OFFS_NBR], data[keys.FUSED_WIN_NBR]
+            pos_n_sorted = center_gather(pos, offs2, win2, eb=eb, n_edges=Ep)
+            pos_n = perm_rows(
+                pos_n_sorted, data[keys.NBR_PERM_INV], data[keys.NBR_PERM]
+            )[:E].astype(pos.dtype)
+        else:
+            pos_n = jnp.take(pos, neighbors, axis=0, mode="clip")
+        vec = pos_n - pos_c.astype(pos.dtype)
         if keys.EDGE_MASK in data:
             # padded (sentinel-center) edges read a zero rank row, so restore
             # the vec == 0 invariant the take-based path gets from clipping

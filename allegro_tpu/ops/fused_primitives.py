@@ -577,6 +577,58 @@ ad.primitive_transposes[center_gather_p] = _center_gather_transpose
 
 
 # ---------------------------------------------------------------------------
+# perm_rows: static row permutation with a KNOWN inverse. jnp.take would
+# transpose to an XLA scatter-add (~0.7 ms at production edge counts — the
+# op this exists to avoid); with the inverse given, the transpose is just the
+# inverse permutation's take. Used to route the neighbor-side force scatter
+# through the rank-window kernels via a neighbor-sorted block plan.
+# ---------------------------------------------------------------------------
+
+perm_rows_p = Primitive("allegro_perm_rows")
+
+
+def perm_rows(x, perm, perm_inv):
+    """x [N, C] → x[perm] — differentiable, with transpose = take(ct, perm_inv)."""
+    return perm_rows_p.bind(x, perm, perm_inv)
+
+
+@perm_rows_p.def_abstract_eval
+def _perm_rows_abs(x, perm, perm_inv):
+    return core.ShapedArray((perm.shape[0],) + x.shape[1:], x.dtype)
+
+
+def _perm_rows_impl(x, perm, perm_inv):
+    return jnp.take(x, perm, axis=0)
+
+
+perm_rows_p.def_impl(_perm_rows_impl)
+mlir.register_lowering(perm_rows_p, mlir.lower_fun(_perm_rows_impl, multiple_results=False))
+
+
+def _perm_rows_jvp(primals, tangents):
+    x, perm, perm_inv = primals
+    dx = tangents[0]
+    out = perm_rows(x, perm, perm_inv)
+    parts = [] if type(dx) is ad.Zero else [perm_rows(dx, perm, perm_inv)]
+    return out, _sum_tangents(out, parts)
+
+
+ad.primitive_jvps[perm_rows_p] = _perm_rows_jvp
+
+
+def _perm_rows_transpose(ct, x, perm, perm_inv):
+    if type(ct) is ad.Zero:
+        return (_zero_or_none(x), None, None)
+    assert ad.is_undefined_primal(x)
+    # valid for true permutations (bijections): Σ_e ct[e]·x[perm[e]] as a
+    # function of x has gradient ct[perm_inv]
+    return (_cast_ct(perm_rows(ct, perm_inv, perm), x), None, None)
+
+
+ad.primitive_transposes[perm_rows_p] = _perm_rows_transpose
+
+
+# ---------------------------------------------------------------------------
 # batching: lax.map fallback (the model path never vmaps these; tests may)
 # ---------------------------------------------------------------------------
 
@@ -607,6 +659,7 @@ batching.primitive_batchers[unweight_sh_p] = _map_batcher(unweight_sh, 2)
 batching.primitive_batchers[unweight_w_p] = _map_batcher(unweight_w, 2)
 batching.primitive_batchers[center_scatter_p] = _map_batcher(center_scatter, 1)
 batching.primitive_batchers[center_gather_p] = _map_batcher(center_gather, 1)
+batching.primitive_batchers[perm_rows_p] = _map_batcher(perm_rows, 1)
 
 
 # ---------------------------------------------------------------------------
@@ -661,10 +714,17 @@ def _fli_bwd(entries, dims, U, eb, dim_to_irr, n_rank_rows, res, g):
     import numpy as np
 
     x, sh, wexp, w, env, offs, win = res
-    dx, dA, dB, dw = fused_tp.bwd_fused_call(
+    # with_dw=False: fused_layer_infer is the inference/MD backend — the
+    # weight cotangent is discarded by the force call, and skipping the
+    # per-path in-kernel reductions is a large VPU saving in the hottest
+    # kernel. dw is returned as NaN so accidental parameter training on the
+    # inference backend fails LOUDLY instead of silently (training uses the
+    # `fused` primitive backend, which computes real weight grads).
+    dx, dA, dB, _ = fused_tp.bwd_fused_call(
         x, g, env, env, w, offs, win, entries=entries, dims=dims, U=U, eb=eb,
-        n_rank_rows=n_rank_rows,
+        n_rank_rows=n_rank_rows, with_dw=False,
     )
+    dw = jnp.full(w.shape, jnp.nan, fused_tp.compute_dtype(w.dtype))
     denv = fused_tp.combine_scatter_outputs(dA, dB, win, eb)
     dsh, dwexp = fused_tp.unweight_both_call(
         denv, denv, sh, wexp, offs, win, dim_to_irr=dim_to_irr, U=U, eb=eb

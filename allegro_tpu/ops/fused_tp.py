@@ -703,13 +703,20 @@ def gather_unweight_sh_call(tA, tB, wexp, offs_p, win, *, dim_to_irr, U, eb):
 
 def _bwd_fused_kernel(
     win_ref, offs_ref, x_ref, g_ref, envA_ref, envB_ref, w_ref,
-    dx_ref, dA_ref, dB_ref, dw_ref, *, entries, dims, U, eb, n_paths
+    *refs, entries, dims, U, eb, n_paths, with_dw
 ):
     """One-pass backward: dx, denv (two windows), dw — sharing the g/x loads
     and the env window gather that three separate kernels would each redo
     (the reference's backward reuses one kernel with permuted index sets,
     ``_flashallegro.py:583-639``; here sharing loads is the bigger win because
-    the chip is HBM-bound)."""
+    the chip is HBM-bound). ``with_dw=False`` (the MD force path: weights are
+    parameters, their cotangent is discarded) skips the per-path reductions —
+    a large share of the kernel's VPU work."""
+    if with_dw:
+        dx_ref, dA_ref, dB_ref, dw_ref = refs
+    else:
+        dx_ref, dA_ref, dB_ref = refs
+        dw_ref = None
     d1, d2, d3 = dims
     o = offs_ref[0, :]
     dtype = compute_dtype(x_ref.dtype, g_ref.dtype, envA_ref.dtype)
@@ -742,10 +749,11 @@ def _bwd_fused_kernel(
             cur = (i, k)
         contrib = t * (c * wT[:, p][:, None])
         denv_acc[j] = contrib if denv_acc[j] is None else denv_acc[j] + contrib
-        red = c * jnp.sum(
-            t * env_eT[j * U : (j + 1) * U, :], axis=1, keepdims=True
-        )  # [U, 1]
-        dw_acc[p] = red if dw_acc[p] is None else dw_acc[p] + red
+        if with_dw:
+            red = c * jnp.sum(
+                t * env_eT[j * U : (j + 1) * U, :], axis=1, keepdims=True
+            )  # [U, 1]
+            dw_acc[p] = red if dw_acc[p] is None else dw_acc[p] + red
 
     vals = _cat_T(denv_acc, U, eb, dtype).T  # [eb, d2*U]
     sa, sb = _scatter_windows(o, vals, eb, dtype)
@@ -759,56 +767,70 @@ def _bwd_fused_kernel(
     dA_ref[...] = dA_ref[...] + sa.astype(dA_ref.dtype)
     dB_ref[...] = dB_ref[...] + sb.astype(dB_ref.dtype)
 
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        dw_ref[...] = jnp.zeros_like(dw_ref)
+    if with_dw:
 
-    for p in range(n_paths):
-        if dw_acc[p] is not None:
-            dw_ref[p, :] = dw_ref[p, :] + dw_acc[p][:, 0].astype(dw_ref.dtype)
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            dw_ref[...] = jnp.zeros_like(dw_ref)
+
+        for p in range(n_paths):
+            if dw_acc[p] is not None:
+                dw_ref[p, :] = dw_ref[p, :] + dw_acc[p][:, 0].astype(dw_ref.dtype)
 
 
-def bwd_fused_call(x, g, envA, envB, w, offs_p, win, *, entries, dims, U, eb, n_rank_rows):
+def bwd_fused_call(x, g, envA, envB, w, offs_p, win, *, entries, dims, U, eb,
+                   n_rank_rows, with_dw=True):
     """x [Ep,d1U], g [Ep,d3U], env windows, w [P,U]
-    → (dx [Ep,d1U], dA, dB [Nr,d2U], dw [P,U])."""
+    → (dx [Ep,d1U], dA, dB [Nr,d2U], dw [P,U] | None).
+
+    ``with_dw=False``: dw is neither computed nor returned (None) — for the
+    force/MD path where the weight cotangent is discarded."""
     Ep = x.shape[0]
     nb = Ep // eb
     d1, d2, d3 = dims
     n_paths = 1 + max(e[3] for e in entries)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((8, eb), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((eb, d1 * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((eb, d3 * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((eb, d1 * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_paths, U), lambda b, w_: (0, 0), memory_space=pltpu.VMEM),
-        ],
-    )
-    kern = functools.partial(
-        _bwd_fused_kernel, entries=tuple(entries), dims=dims, U=U, eb=eb, n_paths=n_paths
-    )
+    in_specs = [
+        pl.BlockSpec((8, eb), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((eb, d1 * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((eb, d3 * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((eb, d1 * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
+    ]
     cdt = compute_dtype(x.dtype, g.dtype)
     env_shape = jax.ShapeDtypeStruct((n_rank_rows, d2 * U), cdt)
-    return pl.pallas_call(
+    out_shape = [
+        jax.ShapeDtypeStruct((Ep, d1 * U), x.dtype),
+        env_shape,
+        env_shape,
+    ]
+    if with_dw:
+        out_specs.append(
+            pl.BlockSpec((n_paths, U), lambda b, w_: (0, 0), memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((n_paths, U), cdt))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(nb,), in_specs=in_specs, out_specs=out_specs
+    )
+    kern = functools.partial(
+        _bwd_fused_kernel, entries=tuple(entries), dims=dims, U=U, eb=eb,
+        n_paths=n_paths, with_dw=with_dw,
+    )
+    outs = pl.pallas_call(
         kern,
-        out_shape=[
-            jax.ShapeDtypeStruct((Ep, d1 * U), x.dtype),
-            env_shape,
-            env_shape,
-            jax.ShapeDtypeStruct((n_paths, U), cdt),
-        ],
+        out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=INTERPRET,
     )(win, offs_p, x, g, envA, envB, w)
+    if with_dw:
+        return outs
+    dx, dA, dB = outs
+    return dx, dA, dB, None
 
 
 def _unweight_both_kernel(

@@ -133,3 +133,36 @@ def test_training_grads_through_fused(rng):
     assert len(flat_r) == len(flat_f)
     for a, b in zip(flat_r, flat_f):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-9, rtol=1e-7)
+
+
+def test_fused_infer_weight_grads_fail_loudly(rng):
+    """`fused_infer` is the inference/MD backend: its one-pass backward skips
+    the weight-cotangent computation (a large VPU saving). Accidental
+    parameter training must fail LOUDLY — NaN weight grads (the dw output is
+    NaN by design) or a raised error — never silently-wrong numbers.
+    Training uses `fused`. The ops-level NaN contract:"""
+    import allegro_tpu.ops.fused_tp as ft
+    from allegro_tpu.ops.fused_primitives import fused_layer_infer
+
+    eb, Ep, U = 16, 32, 4
+    d = 2
+    entries = ((0, 0, 0, 0, 1.0), (1, 1, 1, 1, 0.5))
+    centers = jnp.asarray(
+        np.sort(np.random.RandomState(0).randint(0, 8, Ep)).astype(np.int32)
+    )
+    win, offs = ft.make_block_plan(centers, eb)
+    nr = ft.num_rank_rows(10, eb)
+    x = jnp.ones((Ep, d * U))
+    sh = jnp.ones((Ep, d))
+    wexp = jnp.ones((Ep, 2 * U))
+    w = jnp.ones((2, U))
+
+    def loss(w):
+        out = fused_layer_infer(
+            x, sh, wexp, w, offs, win, entries, (d, d, d), U, eb, (0, 1), nr
+        )
+        return out.sum()
+
+    g = jax.grad(loss)(w)
+    assert not np.isfinite(np.asarray(g)).any(), "dw must be NaN by design"
+    # forces (position-path cotangents) stay finite: test_energy_force_consistency
