@@ -106,6 +106,7 @@ def run_train(config: Dict[str, Any], workdir: str) -> str:
         optimizer=optimizer,
         loss=EnergyForceLoss(tcfg.pop("loss_coeffs", None)),
         ema_decay=float(tcfg.pop("ema_decay", 0.999)),
+        ema_use_num_updates=bool(tcfg.pop("ema_use_num_updates", True)),
         log_every=int(tcfg.pop("log_every", 10)),
         profile_dir=tcfg.pop("profile_dir", None),
     )

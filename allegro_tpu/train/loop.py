@@ -64,6 +64,11 @@ class Trainer:
         loss: Optional[EnergyForceLoss] = None,
         metrics: Optional[EnergyForceMetrics] = None,
         ema_decay: float = 0.999,
+        # torch_ema `use_num_updates` warmup (the reference EMALightningModule
+        # default): effective decay at update t is
+        # min(ema_decay, (1 + t) / (10 + t)) — early updates track the raw
+        # params closely instead of being pinned to the (random) init
+        ema_use_num_updates: bool = True,
         mesh: Optional[jax.sharding.Mesh] = None,
         log_every: int = 10,
         logger: Callable[[str], None] = print,
@@ -75,6 +80,7 @@ class Trainer:
         self.loss = loss or EnergyForceLoss()
         self.metrics = metrics or EnergyForceMetrics()
         self.ema_decay = float(ema_decay)
+        self.ema_use_num_updates = bool(ema_use_num_updates)
         if mesh is None:
             devs = np.array(jax.devices())
             mesh = jax.sharding.Mesh(devs, ("dp",))
@@ -117,6 +123,7 @@ class Trainer:
         loss_fn_obj = self.loss
         optimizer = self.optimizer
         ema_decay = self.ema_decay
+        ema_warmup = self.ema_use_num_updates
 
         def loss_for_params(params, batch):
             def one_row(row):
@@ -127,21 +134,27 @@ class Trainer:
             losses, terms = jax.vmap(one_row)(batch)
             return jnp.mean(losses), jax.tree.map(jnp.mean, terms)
 
-        def step(params, ema_params, opt_state, batch):
+        def step(params, ema_params, opt_state, batch, t):
             (loss, terms), grads = jax.value_and_grad(loss_for_params, has_aux=True)(
                 params, batch
             )
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
+            if ema_warmup:
+                tf = t.astype(jnp.float32)
+                decay = jnp.minimum(ema_decay, (1.0 + tf) / (10.0 + tf))
+            else:
+                decay = jnp.asarray(ema_decay, jnp.float32)
             ema_params = jax.tree.map(
-                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p, ema_params, params
+                lambda e, p: (decay * e + (1.0 - decay) * p).astype(p.dtype),
+                ema_params, params,
             )
             return params, ema_params, opt_state, loss, terms
 
         data_sh, rep_sh = self._shardings()
         return jax.jit(
             step,
-            in_shardings=(rep_sh, rep_sh, rep_sh, data_sh),
+            in_shardings=(rep_sh, rep_sh, rep_sh, data_sh, rep_sh),
             out_shardings=(rep_sh, rep_sh, rep_sh, rep_sh, rep_sh),
             donate_argnums=(0, 1, 2),
         )
@@ -201,7 +214,10 @@ class Trainer:
                 if self.profile_dir and state.step == self.profile_steps[0]:
                     jax.profiler.start_trace(self.profile_dir)
                 state.params, state.ema_params, state.opt_state, loss, terms = (
-                    self._step_fn(state.params, state.ema_params, state.opt_state, batch)
+                    self._step_fn(
+                        state.params, state.ema_params, state.opt_state, batch,
+                        jnp.asarray(state.step, jnp.int32),
+                    )
                 )
                 state.step += 1
                 if self.profile_dir and state.step == self.profile_steps[1]:

@@ -81,3 +81,37 @@ def test_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert restored.step == state.step
+
+
+def test_ema_num_updates_warmup():
+    """torch_ema `use_num_updates` semantics (reference EMALightningModule):
+    effective decay at update t is min(ema_decay, (1+t)/(10+t)) — after one
+    update the EMA must track the new params closely (decay 0.1), not stay
+    pinned at the init the way a raw 0.999 decay would."""
+    model, dl, _ = _setup()
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:1]), ("dp",))
+    ex = next(iter(dl))
+
+    def one_step(warmup):
+        tr = Trainer(
+            model, optimizer=optax.sgd(1e-1), mesh=mesh, logger=lambda s: None,
+            ema_decay=0.999, ema_use_num_updates=warmup,
+        )
+        state = tr.init_state(0, ex)
+        p0 = jax.tree.map(np.asarray, state.params)
+        state = tr.fit(state, dl, max_epochs=1)
+        return p0, state
+
+    p0, st_w = one_step(True)
+    _, st_raw = one_step(False)
+
+    def dist(a, b):
+        return float(
+            sum(np.abs(np.asarray(x) - np.asarray(y)).sum()
+                for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)))
+        )
+
+    # warmup EMA is much closer to the trained params than to the init;
+    # the raw-decay EMA stays glued to the init after a handful of updates
+    assert dist(st_w.ema_params, st_w.params) < 0.2 * dist(st_w.ema_params, p0)
+    assert dist(st_raw.ema_params, p0) < 0.2 * dist(st_raw.ema_params, st_raw.params)
