@@ -166,3 +166,22 @@ def test_fused_infer_weight_grads_fail_loudly(rng):
     g = jax.grad(loss)(w)
     assert not np.isfinite(np.asarray(g)).any(), "dw must be NaN by design"
     # forces (position-path cotangents) stay finite: test_energy_force_consistency
+
+
+@pytest.mark.parametrize("backend", ["fused", "fused_infer"])
+def test_lmax3_consistency(backend, rng):
+    """l_max=3 full-parity deep stack (BASELINE config 3, the O(l_max^6)
+    case): fused kernels vs the einsum oracle at f64."""
+    ref, fus = _models("float64", backend=backend, l_max=3)
+    data = _data(np.random.RandomState(21))
+    params = ref.init(0, data)
+    out_r = ref.apply_with_derivatives(params, data)
+    out_f = fus.apply_with_derivatives(params, data)
+    np.testing.assert_allclose(
+        np.asarray(out_f[keys.TOTAL_ENERGY]),
+        np.asarray(out_r[keys.TOTAL_ENERGY]),
+        atol=1e-10,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_f[keys.FORCES]), np.asarray(out_r[keys.FORCES]), atol=1e-9
+    )
