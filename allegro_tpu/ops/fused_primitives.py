@@ -695,39 +695,46 @@ def fused_layer_infer(x, sh, wexp, w, offs, win, entries, dims, U, eb, dim_to_ir
     chip's analogue of FlashAllegro's shared-kernel backward
     (``_flashallegro.py:583-639``). First-order AD only (the role of the
     reference's inference-scoped Triton backend); training uses the primitive
-    path (``fused_layer``), which supports arbitrary-order AD."""
-    env = env_scatter(
+    path (``fused_layer``), which supports arbitrary-order AD.
+
+    Environment arrays stay in RAW (A, B) window-partial form end to end —
+    consumers reconstruct tiles in VMEM (``fused_tp._combine_window_tiles``)
+    instead of paying three full [n_rank_rows, d2*U] passes per combine."""
+    eA, eB = fused_tp.env_scatter_call(
         sh, wexp, offs, win, dim_to_irr=dim_to_irr, U=U, eb=eb, n_rank_rows=n_rank_rows
     )
-    return gather_tp(x, env, w, offs, win, entries=entries, dims=dims, U=U, eb=eb)
+    return fused_tp.gather_tp_raw_call(
+        x, eA, eB, w, offs, win, entries=entries, dims=dims, U=U, eb=eb
+    )
 
 
 def _fli_fwd(x, sh, wexp, w, offs, win, entries, dims, U, eb, dim_to_irr, n_rank_rows):
-    env = env_scatter(
+    eA, eB = fused_tp.env_scatter_call(
         sh, wexp, offs, win, dim_to_irr=dim_to_irr, U=U, eb=eb, n_rank_rows=n_rank_rows
     )
-    out = gather_tp(x, env, w, offs, win, entries=entries, dims=dims, U=U, eb=eb)
-    return out, (x, sh, wexp, w, env, offs, win)
+    out = fused_tp.gather_tp_raw_call(
+        x, eA, eB, w, offs, win, entries=entries, dims=dims, U=U, eb=eb
+    )
+    return out, (x, sh, wexp, w, eA, eB, offs, win)
 
 
 def _fli_bwd(entries, dims, U, eb, dim_to_irr, n_rank_rows, res, g):
     import numpy as np
 
-    x, sh, wexp, w, env, offs, win = res
+    x, sh, wexp, w, eA, eB, offs, win = res
     # with_dw=False: fused_layer_infer is the inference/MD backend — the
     # weight cotangent is discarded by the force call, and skipping the
     # per-path in-kernel reductions is a large VPU saving in the hottest
     # kernel. dw is returned as NaN so accidental parameter training on the
     # inference backend fails LOUDLY instead of silently (training uses the
     # `fused` primitive backend, which computes real weight grads).
-    dx, dA, dB, _ = fused_tp.bwd_fused_call(
-        x, g, env, env, w, offs, win, entries=entries, dims=dims, U=U, eb=eb,
-        n_rank_rows=n_rank_rows, with_dw=False,
+    dx, dA, dB = fused_tp.bwd_fused_raw_call(
+        x, g, eA, eB, w, offs, win, entries=entries, dims=dims, U=U, eb=eb,
+        n_rank_rows=n_rank_rows,
     )
     dw = jnp.full(w.shape, jnp.nan, fused_tp.compute_dtype(w.dtype))
-    denv = fused_tp.combine_scatter_outputs(dA, dB, win, eb)
-    dsh, dwexp = fused_tp.unweight_both_call(
-        denv, denv, sh, wexp, offs, win, dim_to_irr=dim_to_irr, U=U, eb=eb
+    dsh, dwexp = fused_tp.unweight_both_raw_call(
+        dA, dB, sh, wexp, offs, win, dim_to_irr=dim_to_irr, U=U, eb=eb
     )
     zoffs = np.zeros(offs.shape, jax.dtypes.float0)
     zwin = np.zeros(win.shape, jax.dtypes.float0)

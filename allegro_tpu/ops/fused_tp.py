@@ -309,6 +309,45 @@ def _first_visit(win_ref):
 
 
 # ---------------------------------------------------------------------------
+# raw-window (combine-free) environment plumbing — the inference fast path.
+#
+# The scatter kernels produce TWO partial arrays (A, B) whose tiles are only
+# DEFINED on the windows their specs visited. The default (training) path
+# masks+adds them into one combined array (`combine_scatter_outputs`) that
+# the primitives treat as a first-class value — three extra full passes over
+# [n_rank_rows, d2*U] per combine (~1.4 ms/step at 100k atoms across
+# fwd env + bwd denv). The `*_raw_call` variants below skip the combine:
+# consumers view BOTH partials through four window specs (A@w, A@w+1, B@w,
+# B@w+1) and reconstruct the two combined tiles in VMEM with the same
+# validity masks, computed from scalars of the prefetched `win` array:
+#   tile w:    A@w valid always (visited windows only); B@w garbage iff
+#              w == win[0] (no block wrote B there)
+#   tile w+1:  A@(w+1) garbage iff w == win[-1]; B@(w+1) valid always
+# ---------------------------------------------------------------------------
+
+
+def _combine_window_tiles(win_ref, nb, Aw, Aw1, Bw, Bw1, dtype):
+    b = pl.program_id(0)
+    w = win_ref[b]
+    w0 = win_ref[0]
+    wl = win_ref[nb - 1]
+    zero = jnp.zeros((), dtype)
+    envW = Aw.astype(dtype) + jnp.where(w > w0, Bw.astype(dtype), zero)
+    envW1 = jnp.where(w < wl, Aw1.astype(dtype), zero) + Bw1.astype(dtype)
+    return envW, envW1
+
+
+def _env_pair_specs(cols, eb):
+    """Four window specs over the (A, B) partial pair (pass each array twice)."""
+    return [
+        pl.BlockSpec((eb, cols), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((eb, cols), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((eb, cols), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((eb, cols), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
+    ]
+
+
+# ---------------------------------------------------------------------------
 # kernel B: fused gather + TP   out[e, kU+u] = Σ c w[p,u] x[e, iU+u] env[rank_e, jU+u]
 # ---------------------------------------------------------------------------
 
@@ -355,6 +394,56 @@ def gather_tp_call(x, envA, envB, w, offs_p, win, *, entries, dims, U, eb):
         grid_spec=grid_spec,
         interpret=INTERPRET,
     )(win, offs_p, x, envA, envB, w)
+
+
+def _gather_tp_raw_kernel(
+    win_ref, offs_ref, x_ref, Aw_ref, Aw1_ref, Bw_ref, Bw1_ref, w_ref, out_ref,
+    *, entries, dims, U, eb, nb
+):
+    d1, d2, d3 = dims
+    o = offs_ref[0, :]
+    cdt = compute_dtype(x_ref.dtype, Aw_ref.dtype)
+    envW, envW1 = _combine_window_tiles(
+        win_ref, nb, Aw_ref[...], Aw1_ref[...], Bw_ref[...], Bw1_ref[...], cdt
+    )
+    env_eT = _gather_windows(o, envW, envW1, eb, cdt).T
+    xT = x_ref[...].astype(cdt).T
+    wT = w_ref[...].astype(cdt).T
+    acc = _tp_accumulate_T(
+        lambda i: xT[i * U : (i + 1) * U, :],
+        lambda j: env_eT[j * U : (j + 1) * U, :],
+        wT, entries, U, d3,
+    )
+    out_ref[...] = _cat_T(acc, U, eb, cdt).T.astype(out_ref.dtype)
+
+
+def gather_tp_raw_call(x, eA, eB, w, offs_p, win, *, entries, dims, U, eb):
+    """Raw-window twin of :func:`gather_tp_call`: takes the UNcombined
+    scatter partials (eA, eB) and reconstructs the window tiles in VMEM."""
+    Ep = x.shape[0]
+    nb = Ep // eb
+    d1, d2, d3 = dims
+    entries = sort_entries_for_pairs(entries)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((8, eb), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((eb, d1 * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+            *_env_pair_specs(d2 * U, eb),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((eb, d3 * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+    )
+    kern = functools.partial(
+        _gather_tp_raw_kernel, entries=entries, dims=dims, U=U, eb=eb, nb=nb
+    )
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((Ep, d3 * U), x.dtype),
+        grid_spec=grid_spec,
+        interpret=INTERPRET,
+    )(win, offs_p, x, eA, eA, eB, eB, w)
 
 
 # ---------------------------------------------------------------------------
@@ -831,6 +920,160 @@ def bwd_fused_call(x, g, envA, envB, w, offs_p, win, *, entries, dims, U, eb,
         return outs
     dx, dA, dB = outs
     return dx, dA, dB, None
+
+
+def _bwd_fused_raw_kernel(
+    win_ref, offs_ref, x_ref, g_ref, Aw_ref, Aw1_ref, Bw_ref, Bw1_ref, w_ref,
+    dx_ref, dA_ref, dB_ref, *, entries, dims, U, eb, nb
+):
+    """Raw-window twin of :func:`_bwd_fused_kernel` with ``with_dw=False``
+    semantics (inference scope): env arrives as the uncombined (A, B) pair."""
+    d1, d2, d3 = dims
+    o = offs_ref[0, :]
+    dtype = compute_dtype(x_ref.dtype, g_ref.dtype, Aw_ref.dtype)
+    envW, envW1 = _combine_window_tiles(
+        win_ref, nb, Aw_ref[...], Aw1_ref[...], Bw_ref[...], Bw1_ref[...], dtype
+    )
+    env_eT = _gather_windows(o, envW, envW1, eb, dtype).T
+    xT = x_ref[...].astype(dtype).T
+    gT = g_ref[...].astype(dtype).T
+    wT = w_ref[...].astype(dtype).T
+
+    dx_acc = [None] * d1
+    cur = (-1, -1)
+    t = None
+    for k, j, i, p, c in sorted((k, j, i, p, c) for (i, j, k, p, c) in entries):
+        if (k, j) != cur:
+            t = gT[k * U : (k + 1) * U, :] * env_eT[j * U : (j + 1) * U, :]
+            cur = (k, j)
+        contrib = t * (c * wT[:, p][:, None])
+        dx_acc[i] = contrib if dx_acc[i] is None else dx_acc[i] + contrib
+    dx_ref[...] = _cat_T(dx_acc, U, eb, dtype).T.astype(dx_ref.dtype)
+
+    denv_acc = [None] * d2
+    cur = (-1, -1)
+    t = None
+    for i, k, j, p, c in sorted((i, k, j, p, c) for (i, j, k, p, c) in entries):
+        if (i, k) != cur:
+            t = xT[i * U : (i + 1) * U, :] * gT[k * U : (k + 1) * U, :]
+            cur = (i, k)
+        contrib = t * (c * wT[:, p][:, None])
+        denv_acc[j] = contrib if denv_acc[j] is None else denv_acc[j] + contrib
+
+    vals = _cat_T(denv_acc, U, eb, dtype).T
+    sa, sb = _scatter_windows(o, vals, eb, dtype)
+    first = _first_visit(win_ref)
+
+    @pl.when(first)
+    def _():
+        dA_ref[...] = jnp.zeros_like(dA_ref)
+        dB_ref[...] = jnp.zeros_like(dB_ref)
+
+    dA_ref[...] = dA_ref[...] + sa.astype(dA_ref.dtype)
+    dB_ref[...] = dB_ref[...] + sb.astype(dB_ref.dtype)
+
+
+def bwd_fused_raw_call(x, g, eA, eB, w, offs_p, win, *, entries, dims, U, eb,
+                       n_rank_rows):
+    """→ (dx [Ep,d1U], dA, dB [Nr,d2U]) from the uncombined env pair."""
+    Ep = x.shape[0]
+    nb = Ep // eb
+    d1, d2, d3 = dims
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((8, eb), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((eb, d1 * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((eb, d3 * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+            *_env_pair_specs(d2 * U, eb),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((eb, d1 * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
+        ],
+    )
+    kern = functools.partial(
+        _bwd_fused_raw_kernel, entries=tuple(entries), dims=dims, U=U, eb=eb, nb=nb
+    )
+    cdt = compute_dtype(x.dtype, g.dtype)
+    env_shape = jax.ShapeDtypeStruct((n_rank_rows, d2 * U), cdt)
+    return pl.pallas_call(
+        kern,
+        out_shape=[
+            jax.ShapeDtypeStruct((Ep, d1 * U), x.dtype),
+            env_shape,
+            env_shape,
+        ],
+        grid_spec=grid_spec,
+        interpret=INTERPRET,
+    )(win, offs_p, x, g, eA, eA, eB, eB, w)
+
+
+def _unweight_both_raw_kernel(
+    win_ref, offs_ref, tAw_ref, tAw1_ref, tBw_ref, tBw1_ref, sh_ref, wexp_ref,
+    dsh_ref, dwexp_ref, *, dim_to_irr, U, eb, nb
+):
+    o = offs_ref[0, :]
+    dtype = compute_dtype(tAw_ref.dtype, wexp_ref.dtype, sh_ref.dtype)
+    tW, tW1 = _combine_window_tiles(
+        win_ref, nb, tAw_ref[...], tAw1_ref[...], tBw_ref[...], tBw1_ref[...], dtype
+    )
+    t_eT = _gather_windows(o, tW, tW1, eb, dtype).T
+    wexpT = wexp_ref[...].astype(dtype).T
+    shT = sh_ref[...].astype(dtype)  # operand pre-transposed [d2, eb]
+    d2 = len(dim_to_irr)
+    n_irr = max(dim_to_irr) + 1
+    dsh_rows = []
+    acc = [None] * n_irr
+    for j in range(d2):
+        irr = dim_to_irr[j]
+        tj = t_eT[j * U : (j + 1) * U, :]
+        dsh_rows.append(
+            jnp.sum(tj * wexpT[irr * U : (irr + 1) * U, :], axis=0, keepdims=True)
+        )
+        prod = tj * shT[j : j + 1, :]
+        acc[irr] = prod if acc[irr] is None else acc[irr] + prod
+    dsh_ref[...] = jnp.concatenate(dsh_rows, axis=0).astype(dsh_ref.dtype)
+    dwexp_ref[...] = jnp.concatenate(acc, axis=0).T.astype(dwexp_ref.dtype)
+
+
+def unweight_both_raw_call(tA, tB, sh, wexp, offs_p, win, *, dim_to_irr, U, eb):
+    """→ (dsh [Ep, d2], dwexp [Ep, n_irr*U]) from the uncombined denv pair."""
+    Ep = sh.shape[0]
+    nb = Ep // eb
+    d2 = len(dim_to_irr)
+    n_irr = max(dim_to_irr) + 1
+    sh = sh.T  # [d2, Ep]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((8, eb), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+            *_env_pair_specs(d2 * U, eb),
+            pl.BlockSpec((d2, eb), lambda b, w_: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((eb, n_irr * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((d2, eb), lambda b, w_: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((eb, n_irr * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+        ],
+    )
+    kern = functools.partial(
+        _unweight_both_raw_kernel, dim_to_irr=tuple(dim_to_irr), U=U, eb=eb, nb=nb
+    )
+    dshT, dwexp = pl.pallas_call(
+        kern,
+        out_shape=[
+            jax.ShapeDtypeStruct((d2, Ep), compute_dtype(tA.dtype)),
+            jax.ShapeDtypeStruct((Ep, n_irr * U), wexp.dtype),
+        ],
+        grid_spec=grid_spec,
+        interpret=INTERPRET,
+    )(win, offs_p, tA, tA, tB, tB, sh, wexp)
+    return dshT.T, dwexp
 
 
 def _unweight_both_kernel(
