@@ -276,6 +276,21 @@ class AllegroLayers(nn.Module):
             features = self.tps[0]._pallas.pack(features)
         else:
             sh_p, centers_p, Ep = sh, centers, E
+        if (
+            fused
+            and self.tp_kernel_backend == "fused_infer"
+            and len(self.mlp_hidden_dims) == 1
+            and os.environ.get("ALLEGRO_TP_BYPASS") != "1"
+            and os.environ.get("ALLEGRO_NO_MEGA") != "1"
+        ):
+            # mega-fused inference: latent MLP + env-weight slice + env
+            # scatter run as ONE kernel per layer; the hidden/env activations
+            # never exist in HBM (TODO.md "per-layer mega-kernel")
+            out = dict(data)
+            out[keys.EDGE_SCALARS] = self._mega_forward(
+                data, features, sh_p, plan, n_rank, E, Ep, U, S
+            )
+            return out
         proj = self.first_projection(data[keys.EDGE_EMBEDDING])
         scalar_blocks = [proj[:, :S]]
         env_w = proj[:, S:]
@@ -306,6 +321,73 @@ class AllegroLayers(nn.Module):
         # consumes pieces directly (first-matmul row-block split)
         out[keys.EDGE_SCALARS] = tuple(scalar_blocks)
         return out
+
+    def _mega_forward(self, data, features, sh_p, plan, n_rank, E, Ep, U, S):
+        """Mega-fused inference stack: per layer, ONE kernel runs the latent
+        MLP + env-weight slice + env scatter (``mega_latent_env``) and one
+        runs the env gather + CG-TP (``gather_tp_infer``) with the one-pass
+        fused backward. Parameters are the SAME modules/pytree as every
+        other backend (``ScalarMLP(..., return_weights=True)``)."""
+        from ..ops.fused_primitives import mega_latent_env
+
+        offs, win = plan
+        eb = FUSED_BLOCK_EDGES
+        wexp_dtype = (
+            jnp.dtype(self.tensor_dtype) if self.tensor_dtype is not None else None
+        )
+        emb = data[keys.EDGE_EMBEDDING]
+        if emb.shape[0] != Ep:
+            emb = jnp.pad(emb, ((0, Ep - emb.shape[0]), (0, 0)))
+        emb = emb.astype(self.param_dtype)
+        dim_to_irr = self.tps[0]._dim_to_irr
+        # layer-0 env weights: the (linear) first projection as a no-hidden
+        # mega call — its scalar slice is scalar block 0
+        (w_proj,) = self.first_projection((emb,), return_weights=True)
+        lat_s, eA, eB = mega_latent_env(
+            (emb,), sh_p, w_proj, None, offs, win,
+            tuple(dim_to_irr), U, eb, n_rank, S, wexp_dtype,
+        )
+        scalar_blocks = [lat_s]
+        x = features
+
+        body = AllegroLayers._mega_layer_body
+        if self.remat:
+            body = nn.remat(body, static_argnums=(1,), prevent_cse=False)
+        for layer in range(self.num_layers):
+            statics = (layer, Ep, U, S, n_rank, eb)
+            x, lat_s, eA, eB = body(
+                self, statics, x, eA, eB, tuple(scalar_blocks), sh_p, offs, win
+            )
+            scalar_blocks.append(lat_s)
+        return tuple(b[:E] for b in scalar_blocks)
+
+    def _mega_layer_body(self, statics, x, eA, eB, scalars_tuple, sh_p, offs, win):
+        layer, Ep, U, S, n_rank, eb = statics
+        wexp_dtype = (
+            jnp.dtype(self.tensor_dtype) if self.tensor_dtype is not None else None
+        )
+        from ..ops.fused_primitives import gather_tp_infer, mega_latent_env
+
+        wk, entries, dims, dim_to_irr = self.tps[layer].fused_infer_parts(x.dtype)
+        feats = gather_tp_infer(
+            x, eA, eB, wk, offs, win, tuple(entries), tuple(dims), U, eb, n_rank
+        )
+        tp_scalars = feats[:, :U].astype(self.param_dtype)
+        last = layer == self.num_layers - 1
+        if last:
+            lat_s = self.latents[layer](list(scalars_tuple) + [tp_scalars])
+            eA_n, eB_n = eA, eB  # unused afterwards; keep a uniform signature
+        else:
+            w0, w1 = self.latents[layer](
+                list(scalars_tuple) + [tp_scalars], return_weights=True
+            )
+            lat_s, eA_n, eB_n = mega_latent_env(
+                tuple(scalars_tuple) + (tp_scalars,), sh_p, w0, w1, offs, win,
+                tuple(dim_to_irr), U, eb, n_rank, S, wexp_dtype,
+            )
+        if self.tensor_dtype is not None:
+            feats = feats.astype(jnp.dtype(self.tensor_dtype))
+        return feats, lat_s, eA_n, eB_n
 
     def _layer_body(self, statics, features, env_w, scalars_tuple, sh_p, centers_p):
         layer, mode, E, U, Ep, n_atoms, n_rank = statics

@@ -315,6 +315,18 @@ class Contracter(nn.Module):
             dim_to_irr=self._dim_to_irr, n_rank_rows=n_rank_rows,
         )
 
+    def fused_infer_parts(self, dtype):
+        """(wk [P, U], entries, dims, dim_to_irr) for the mega-fused
+        inference path (``nn/allegro.py`` drives the kernels directly)."""
+        P, d1, d2, d3 = self._w3j.shape
+        w = self.path_weights.astype(dtype)
+        if self.path_channel_coupling:
+            wk = w.T
+        else:
+            wk = jnp.broadcast_to(w[:, None], (P, self.mul))
+        assert self.scatter_factor is None, "mega path expects folded factor"
+        return wk, self._fused_entries, (d1, d2, d3), self._dim_to_irr
+
     def __call__(self, x1, x2, centers, n_atoms: int):
         x2_env = self.env_sum(x2, centers, n_atoms)
         if self._pallas is not None:

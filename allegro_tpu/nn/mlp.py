@@ -59,13 +59,19 @@ class ScalarMLP(nn.Module):
         return len(self.hidden_dims) > 0 and self.nonlinearity is not None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_weights: bool = False):
         """``x``: array, or a tuple/list of arrays treated as a concat along
         the last axis WITHOUT materializing it — the first matmul runs as a
         sum of per-piece matmuls over row blocks of ``w0``. Params and math
         are identical either way (up to f32 summation order); on a
         bandwidth-bound chip this saves a full write+read of the concat
-        (~180 MB/layer at production edge counts)."""
+        (~180 MB/layer at production edge counts).
+
+        ``return_weights=True``: create the parameters (identical names /
+        shapes / order — the cross-backend pytree invariant) and return the
+        effective weight matrices ``(w0, w1, ...)`` with ``out_col_scale``
+        already folded, WITHOUT computing — the mega-fused kernels consume
+        the raw weights in-kernel (``ops/fused_tp.latent_env_scatter_call``)."""
         pieces = tuple(x) if isinstance(x, (tuple, list)) else (x,)
         dims = (*self.hidden_dims, self.output_dim)
         in_dim = sum(p.shape[-1] for p in pieces)
@@ -83,6 +89,18 @@ class ScalarMLP(nn.Module):
         )
         if len(dims) == 1:
             w0 = scale_last(w0)
+        if return_weights:
+            ws = [w0]
+            prev = dims[0]
+            for k, d in enumerate(dims[1:], start=1):
+                w = self.param(
+                    f"w{k}", forward_weight_init, (prev, d), self.param_dtype
+                )
+                if k == len(dims) - 1:
+                    w = scale_last(w)
+                ws.append(w)
+                prev = d
+            return tuple(ws)
         x = None
         off = 0
         for p in pieces:

@@ -752,3 +752,120 @@ def _fli_bwd(entries, dims, U, eb, dim_to_irr, n_rank_rows, res, g):
 
 
 fused_layer_infer.defvjp(_fli_fwd, _fli_bwd)
+
+
+# ---------------------------------------------------------------------------
+# mega-layer inference ops (custom_vjp, first-order, raw-window env pair):
+#   mega_latent_env: latent MLP + env-weight slice + env scatter, one kernel
+#   gather_tp_infer: env gather + CG-TP with the one-pass fused dx/denv bwd
+# The (eA, eB) pair is a closed convention between these two ops: cotangents
+# wrt (eA, eB) are returned AS the scatter-window partials (dA, dB) and
+# consumed through the same 4-view combine — never mix with other consumers.
+# Weight cotangents are NaN by design (inference scope; train with `fused`).
+# ---------------------------------------------------------------------------
+
+
+def _f0_like(a):
+    import numpy as np
+
+    return np.zeros(a.shape, jax.dtypes.float0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+def mega_latent_env(pieces, sh, w0, w1, offs, win,
+                    dim_to_irr, U, eb, n_rank_rows, S, wexp_dtype):
+    n_hidden = 1 if w1 is not None else 0
+    return fused_tp.latent_env_scatter_call(
+        pieces, sh, w0, w1, offs, win, dim_to_irr=dim_to_irr, U=U, eb=eb,
+        n_rank_rows=n_rank_rows, S=S, n_hidden=n_hidden, wexp_dtype=wexp_dtype,
+    )
+
+
+def _mle_fwd(pieces, sh, w0, w1, offs, win, dim_to_irr, U, eb, n_rank_rows, S,
+             wexp_dtype):
+    out = mega_latent_env(
+        pieces, sh, w0, w1, offs, win, dim_to_irr, U, eb, n_rank_rows, S,
+        wexp_dtype,
+    )
+    return out, (pieces, sh, w0, w1, offs, win)
+
+
+def _mle_bwd(dim_to_irr, U, eb, n_rank_rows, S, wexp_dtype, res, ct):
+    pieces, sh, w0, w1, offs, win = res
+    g_lat, dA, dB = ct
+    n_hidden = 1 if w1 is not None else 0
+    dsh, dpieces = fused_tp.latent_env_bwd_call(
+        pieces, sh, w0, w1, dA, dB, g_lat, offs, win, dim_to_irr=dim_to_irr,
+        U=U, eb=eb, S=S, n_hidden=n_hidden, wexp_dtype=wexp_dtype,
+    )
+    dpieces = tuple(_cast_ct(dp, _Aval(p)) for dp, p in zip(dpieces, pieces))
+    dw0 = jnp.full(w0.shape, jnp.nan, fused_tp.compute_dtype(w0.dtype))
+    dw1 = None if w1 is None else jnp.full(
+        w1.shape, jnp.nan, fused_tp.compute_dtype(w1.dtype)
+    )
+    return (dpieces, _cast_ct(dsh, _Aval(sh)), dw0, dw1,
+            _f0_like(offs), _f0_like(win))
+
+
+class _Aval:
+    """Tiny adapter so _cast_ct (which expects .aval.dtype) works on values."""
+
+    def __init__(self, x):
+        self.aval = x
+
+
+mega_latent_env.defvjp(_mle_fwd, _mle_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def gather_tp_infer(x, eA, eB, w, offs, win, entries, dims, U, eb, n_rank_rows):
+    return fused_tp.gather_tp_raw_call(
+        x, eA, eB, w, offs, win, entries=entries, dims=dims, U=U, eb=eb
+    )
+
+
+def _gti_fwd(x, eA, eB, w, offs, win, entries, dims, U, eb, n_rank_rows):
+    out = gather_tp_infer(x, eA, eB, w, offs, win, entries, dims, U, eb,
+                          n_rank_rows)
+    return out, (x, eA, eB, w, offs, win)
+
+
+def _gti_bwd(entries, dims, U, eb, n_rank_rows, res, g):
+    x, eA, eB, w, offs, win = res
+    dx, dA, dB = fused_tp.bwd_fused_raw_call(
+        x, g, eA, eB, w, offs, win, entries=entries, dims=dims, U=U, eb=eb,
+        n_rank_rows=n_rank_rows,
+    )
+    dw = jnp.full(w.shape, jnp.nan, fused_tp.compute_dtype(w.dtype))
+    return (_cast_ct(dx, _Aval(x)), dA, dB, dw, _f0_like(offs), _f0_like(win))
+
+
+gather_tp_infer.defvjp(_gti_fwd, _gti_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def env_scatter_infer(sh, wexp, offs, win, dim_to_irr, U, eb, n_rank_rows):
+    """(eA, eB) from explicit env weights (layer-0 path when the producing
+    projection is not mega-fused)."""
+    return fused_tp.env_scatter_call(
+        sh, wexp, offs, win, dim_to_irr=dim_to_irr, U=U, eb=eb,
+        n_rank_rows=n_rank_rows,
+    )
+
+
+def _esi_fwd(sh, wexp, offs, win, dim_to_irr, U, eb, n_rank_rows):
+    out = env_scatter_infer(sh, wexp, offs, win, dim_to_irr, U, eb, n_rank_rows)
+    return out, (sh, wexp, offs, win)
+
+
+def _esi_bwd(dim_to_irr, U, eb, n_rank_rows, res, ct):
+    sh, wexp, offs, win = res
+    dA, dB = ct
+    dsh, dwexp = fused_tp.unweight_both_raw_call(
+        dA, dB, sh, wexp, offs, win, dim_to_irr=dim_to_irr, U=U, eb=eb
+    )
+    return (_cast_ct(dsh, _Aval(sh)), _cast_ct(dwexp, _Aval(wexp)),
+            _f0_like(offs), _f0_like(win))
+
+
+env_scatter_infer.defvjp(_esi_fwd, _esi_bwd)

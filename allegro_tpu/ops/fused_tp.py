@@ -1185,3 +1185,257 @@ def gather_unweight_w_call(tA, tB, sh, offs_p, win, *, dim_to_irr, U, eb, out_dt
         grid_spec=grid_spec,
         interpret=INTERPRET,
     )(win, offs_p, tA, tB, sh)
+
+
+# ---------------------------------------------------------------------------
+# mega kernels: latent MLP + env-weight slice + env scatter in ONE pass
+# (the per-layer whole-kernel fusion the reference approximates with
+# torch.compile around FlashAllegro; here the latent MLP's hidden/env
+# activations never exist in HBM — ~0.5 GB/step of intermediate traffic at
+# production edge counts). Inference scope (custom_vjp wrappers in
+# fused_primitives; weight cotangents follow the NaN contract).
+# ---------------------------------------------------------------------------
+
+
+def _mlp_lat(piece_vals, w0_ref, w1_ref, piece_dims, n_hidden, dtype):
+    """lat = (silu(Σ pieces @ w0-blocks)) @ w1 (n_hidden=1) or the plain
+    linear Σ pieces @ w0-blocks (n_hidden=0). Matches ScalarMLP exactly:
+    bias-free, SiLU, HIGHEST-precision dots, per-piece block matmul in
+    declaration order. Returns (pre_act | None, lat)."""
+    h = None
+    off = 0
+    w0 = w0_ref[...].astype(dtype)
+    for p, d in zip(piece_vals, piece_dims):
+        t = jax.lax.dot_general(
+            p.astype(dtype), w0[off : off + d, :],
+            (((1,), (0,)), ((), ())),
+            precision=_HIGHEST, preferred_element_type=dtype,
+        )
+        h = t if h is None else h + t
+        off += d
+    if n_hidden == 0:
+        return None, h
+    pre = h
+    h = jax.nn.silu(pre)
+    lat = jax.lax.dot_general(
+        h, w1_ref[...].astype(dtype), (((1,), (0,)), ((), ())),
+        precision=_HIGHEST, preferred_element_type=dtype,
+    )
+    return pre, lat
+
+
+def _latent_env_scatter_kernel(
+    win_ref, offs_ref, *refs, piece_dims, dim_to_irr, U, eb, S, n_hidden,
+    wexp_dtype
+):
+    np_ = len(piece_dims)
+    piece_refs = refs[:np_]
+    sh_ref = refs[np_]
+    w0_ref = refs[np_ + 1]
+    w1_ref = refs[np_ + 2] if n_hidden else None
+    lat_ref, outA_ref, outB_ref = refs[-3:]
+    o = offs_ref[0, :]
+    cdt = compute_dtype(*(r.dtype for r in piece_refs))
+    _, lat = _mlp_lat(
+        [r[...] for r in piece_refs], w0_ref, w1_ref, piece_dims, n_hidden, cdt
+    )
+    lat_ref[...] = lat[:, :S].astype(lat_ref.dtype)
+    wexp = lat[:, S:]
+    if wexp_dtype is not None:
+        # parity with the unfused path's tensor_dtype cast of the env weights
+        wexp = wexp.astype(wexp_dtype).astype(cdt)
+    shT = sh_ref[...].astype(cdt)  # [d2, eb] (pre-transposed operand)
+    wexpT = wexp.T                 # [n_irr*U, eb]
+    d2 = len(dim_to_irr)
+    rows = []
+    for j in range(d2):
+        irr = dim_to_irr[j]
+        rows.append(shT[j : j + 1, :] * wexpT[irr * U : (irr + 1) * U, :])
+    vals = jnp.concatenate(rows, axis=0).T  # [eb, d2*U]
+    sa, sb = _scatter_windows(o, vals, eb, cdt)
+    first = _first_visit(win_ref)
+
+    @pl.when(first)
+    def _():
+        outA_ref[...] = jnp.zeros_like(outA_ref)
+        outB_ref[...] = jnp.zeros_like(outB_ref)
+
+    outA_ref[...] = outA_ref[...] + sa.astype(outA_ref.dtype)
+    outB_ref[...] = outB_ref[...] + sb.astype(outB_ref.dtype)
+
+
+def latent_env_scatter_call(
+    pieces, sh, w0, w1, offs_p, win, *, dim_to_irr, U, eb, n_rank_rows, S,
+    n_hidden, wexp_dtype=None
+):
+    """pieces (tuple of [Ep, d_i]), sh [Ep, d2], w0 [Σd_i, H], w1 [H, S+nI*U]
+    (or w1=None with n_hidden=0 and w0 [Σd_i, S+nI*U])
+    → (lat_scalars [Ep, S], eA, eB [Nr, d2*U])."""
+    Ep = sh.shape[0]
+    nb = Ep // eb
+    d2 = len(dim_to_irr)
+    n_irr = max(dim_to_irr) + 1
+    piece_dims = tuple(int(p.shape[1]) for p in pieces)
+    sh_t = sh.T
+    in_specs = [pl.BlockSpec((8, eb), lambda b, w_: (b, 0), memory_space=pltpu.VMEM)]
+    for d in piece_dims:
+        in_specs.append(
+            pl.BlockSpec(
+                (eb, d), lambda b, w_: (b, 0), memory_space=pltpu.VMEM
+            )
+        )
+    in_specs.append(
+        pl.BlockSpec((d2, eb), lambda b, w_: (0, b), memory_space=pltpu.VMEM)
+    )
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # w0
+    args = [win, offs_p, *pieces, sh_t, w0]
+    if n_hidden:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # w1
+        args.append(w1)
+    out_specs = [
+        pl.BlockSpec((eb, S), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
+    ]
+    cdt = compute_dtype(*(p.dtype for p in pieces))
+    env_shape = jax.ShapeDtypeStruct((n_rank_rows, d2 * U), cdt)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(nb,), in_specs=in_specs, out_specs=out_specs
+    )
+    kern = functools.partial(
+        _latent_env_scatter_kernel, piece_dims=piece_dims,
+        dim_to_irr=tuple(dim_to_irr), U=U, eb=eb, S=S, n_hidden=n_hidden,
+        wexp_dtype=wexp_dtype,
+    )
+    return pl.pallas_call(
+        kern,
+        out_shape=[jax.ShapeDtypeStruct((Ep, S), cdt), env_shape, env_shape],
+        grid_spec=grid_spec,
+        interpret=INTERPRET,
+    )(*args)
+
+
+def _latent_env_bwd_kernel(
+    win_ref, offs_ref, *refs, piece_dims, dim_to_irr, U, eb, S, n_hidden,
+    wexp_dtype, nb
+):
+    """Backward of the mega kernel: recomputes the MLP forward from the saved
+    inputs (VMEM-resident, no stored activations), unweights the raw denv
+    pair into (dsh, dwexp), and backpropagates through w1/silu/w0 to the
+    piece cotangents — all in one pass."""
+    np_ = len(piece_dims)
+    piece_refs = refs[:np_]
+    k = np_
+    sh_ref = refs[k]; k += 1
+    w0_ref = refs[k]; k += 1
+    w1_ref = refs[k] if n_hidden else None
+    if n_hidden:
+        k += 1
+    tAw_ref, tAw1_ref, tBw_ref, tBw1_ref, glat_ref = refs[k : k + 5]
+    out_refs = refs[k + 5 :]
+    dsh_ref = out_refs[0]
+    dpiece_refs = out_refs[1:]
+    o = offs_ref[0, :]
+    cdt = compute_dtype(*(r.dtype for r in piece_refs))
+    piece_vals = [r[...] for r in piece_refs]
+    pre, lat = _mlp_lat(piece_vals, w0_ref, w1_ref, piece_dims, n_hidden, cdt)
+    wexp = lat[:, S:]
+    if wexp_dtype is not None:
+        wexp = wexp.astype(wexp_dtype).astype(cdt)
+    tW, tW1 = _combine_window_tiles(
+        win_ref, nb, tAw_ref[...], tAw1_ref[...], tBw_ref[...], tBw1_ref[...], cdt
+    )
+    t_eT = _gather_windows(o, tW, tW1, eb, cdt).T
+    shT = sh_ref[...].astype(cdt)
+    wexpT = wexp.T
+    d2 = len(dim_to_irr)
+    n_irr = max(dim_to_irr) + 1
+    dsh_rows = []
+    acc = [None] * n_irr
+    for j in range(d2):
+        irr = dim_to_irr[j]
+        tj = t_eT[j * U : (j + 1) * U, :]
+        dsh_rows.append(
+            jnp.sum(tj * wexpT[irr * U : (irr + 1) * U, :], axis=0, keepdims=True)
+        )
+        prod = tj * shT[j : j + 1, :]
+        acc[irr] = prod if acc[irr] is None else acc[irr] + prod
+    dsh_ref[...] = jnp.concatenate(dsh_rows, axis=0).astype(dsh_ref.dtype)
+    dwexp = jnp.concatenate(acc, axis=0).T  # [eb, n_irr*U]
+    dlat = jnp.concatenate([glat_ref[...].astype(cdt), dwexp], axis=1)
+    if n_hidden:
+        dh = jax.lax.dot_general(
+            dlat, w1_ref[...].astype(cdt), (((1,), (1,)), ((), ())),
+            precision=_HIGHEST, preferred_element_type=cdt,
+        )
+        # d silu(x) = sigmoid(x) * (1 + x * (1 - sigmoid(x)))
+        sig = jax.nn.sigmoid(pre)
+        dh = dh * (sig * (1.0 + pre * (1.0 - sig)))
+    else:
+        dh = dlat
+    w0 = w0_ref[...].astype(cdt)
+    off = 0
+    for r, d in zip(dpiece_refs, piece_dims):
+        dp = jax.lax.dot_general(
+            dh, w0[off : off + d, :], (((1,), (1,)), ((), ())),
+            precision=_HIGHEST, preferred_element_type=cdt,
+        )
+        r[...] = dp.astype(r.dtype)
+        off += d
+
+
+def latent_env_bwd_call(
+    pieces, sh, w0, w1, dA, dB, g_lat, offs_p, win, *, dim_to_irr, U, eb, S,
+    n_hidden, wexp_dtype=None
+):
+    """→ (dsh [Ep, d2], dpieces tuple) from the raw denv pair + lat-scalar
+    cotangent."""
+    Ep = sh.shape[0]
+    nb = Ep // eb
+    d2 = len(dim_to_irr)
+    piece_dims = tuple(int(p.shape[1]) for p in pieces)
+    sh_t = sh.T
+    cdt = compute_dtype(*(p.dtype for p in pieces))
+    in_specs = [pl.BlockSpec((8, eb), lambda b, w_: (b, 0), memory_space=pltpu.VMEM)]
+    for d in piece_dims:
+        in_specs.append(
+            pl.BlockSpec((eb, d), lambda b, w_: (b, 0), memory_space=pltpu.VMEM)
+        )
+    in_specs.append(
+        pl.BlockSpec((d2, eb), lambda b, w_: (0, b), memory_space=pltpu.VMEM)
+    )
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # w0
+    args = [win, offs_p, *pieces, sh_t, w0]
+    if n_hidden:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # w1
+        args.append(w1)
+    in_specs.extend(_env_pair_specs(d2 * U, eb))
+    in_specs.append(
+        pl.BlockSpec((eb, S), lambda b, w_: (b, 0), memory_space=pltpu.VMEM)
+    )
+    args.extend([dA, dA, dB, dB, g_lat])
+    out_specs = [
+        pl.BlockSpec((d2, eb), lambda b, w_: (0, b), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((d2, Ep), cdt)]
+    for d in piece_dims:
+        out_specs.append(
+            pl.BlockSpec((eb, d), lambda b, w_: (b, 0), memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((Ep, d), cdt))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(nb,), in_specs=in_specs, out_specs=out_specs
+    )
+    kern = functools.partial(
+        _latent_env_bwd_kernel, piece_dims=piece_dims,
+        dim_to_irr=tuple(dim_to_irr), U=U, eb=eb, S=S, n_hidden=n_hidden,
+        wexp_dtype=wexp_dtype, nb=nb,
+    )
+    outs = pl.pallas_call(
+        kern,
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+        interpret=INTERPRET,
+    )(*args)
+    dshT = outs[0]
+    return dshT.T, tuple(outs[1:])
