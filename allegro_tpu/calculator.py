@@ -96,6 +96,11 @@ class AllegroCalculator:
             batch_frames([frame], n_atoms=self._n_atoms_pad, n_edges=self._n_edges_pad, n_frames=1),
             dtype=self.dtype,
         )
+        # position-independent per-edge statics (edge types, fused block
+        # plans): arms the kernel fast paths on repeated calls; shapes stay
+        # sticky with the padded buckets, so the compile is reused
+        if hasattr(self.model, "precompute_statics"):
+            batch = self.model.precompute_statics(batch)
         out = self._fn()(self.params, batch)
         res = {
             "energy": float(np.asarray(out[keys.TOTAL_ENERGY]).sum()),

@@ -57,6 +57,19 @@ def run_md(config: Dict[str, Any], workdir: str):
         state = load_checkpoint(ckpt, mcfg.get("ckpt_name", "best"), template=t)
         params = state.ema_params
 
+    # multi-chip strategy (config: md.strategy = edge_shard | slab | brick,
+    # md.mesh_shape = [Dx, Dy, Dz] for brick); default single-device
+    import jax
+
+    strategy = str(mcfg.get("strategy", "edge_shard"))
+    mesh = None
+    if strategy == "slab":
+        devs = np.array(jax.devices())
+        mesh = jax.sharding.Mesh(devs, ("dp",))
+    elif strategy == "brick":
+        shape = tuple(int(s) for s in mcfg.get("mesh_shape", [len(jax.devices()), 1, 1]))
+        devs = np.array(jax.devices()[: int(np.prod(shape))]).reshape(shape)
+        mesh = jax.sharding.Mesh(devs, ("bx", "by", "bz")[: len(shape)])
     sim = Simulation(
         model,
         params,
@@ -70,6 +83,8 @@ def run_md(config: Dict[str, Any], workdir: str):
         steps_per_block=int(mcfg.get("steps_per_block", 20)),
         langevin_gamma=mcfg.get("langevin_gamma"),
         langevin_kT=float(mcfg.get("langevin_kT", 0.0)),
+        mesh=mesh,
+        strategy=strategy,
     )
     v0 = rng.randn(n_atoms, 3) * float(mcfg.get("v0", 0.05))
     st = MDState(pos, v0)

@@ -1,0 +1,28 @@
+#!/bin/bash
+# Perf matrix for round-3 changes (runs unattended; each line = one config).
+# Usage: scripts/perf_matrix.sh [outfile]
+set -u
+cd "$(dirname "$0")/.."
+OUT="${1:-/tmp/perf_matrix.log}"
+: > "$OUT"
+
+run() {
+  label="$1"; shift
+  echo "=== $label" >> "$OUT"
+  env "$@" BENCH_SKIP_EXTRA=1 timeout 3600 python bench.py >> "$OUT" 2>/dev/null
+  echo >> "$OUT"
+}
+
+run "mega 4k (default)"
+run "mega 4k precision=high" BENCH_PRECISION=high
+run "mega 4k eb=64" ALLEGRO_FUSED_EB=64
+run "no-mega 4k (ablation)" ALLEGRO_NO_MEGA=1
+run "mega 100k" BENCH_N_ATOMS=100000
+run "mega 100k eb=64" BENCH_N_ATOMS=100000 ALLEGRO_FUSED_EB=64
+echo "=== parity (mega, f32 vs f64 oracle)" >> "$OUT"
+timeout 3600 python - >> "$OUT" 2>/dev/null <<'EOF'
+from allegro_tpu.bench import run_parity
+mae, rel = run_parity()
+print(f'{{"force_mae_vs_f64": {mae:.3e}, "rel": {rel:.3e}}}')
+EOF
+echo "done" >> "$OUT"
