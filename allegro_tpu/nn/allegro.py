@@ -246,12 +246,36 @@ class AllegroLayers(nn.Module):
                 offs, win = data[keys.FUSED_OFFS], data[keys.FUSED_WIN]
             else:
                 win, offs = make_block_plan(centers_p, eb)
-                # The fused kernels silently assume center-sorted edges; the
-                # host plan (Model.precompute_statics) raises on violation,
-                # but this in-jit fallback serves arbitrary user data — poison
-                # the basis with NaN on unsorted input so wrong environments
+                # The fused kernels silently assume center-sorted REAL edges
+                # with trailing padding; the host plan
+                # (Model.precompute_statics) raises on violation, but this
+                # in-jit fallback serves arbitrary user data — poison the
+                # basis with NaN on violating input so wrong environments
                 # surface as NaN energies instead of silently wrong numbers.
-                ok = jnp.all(centers_p[1:] >= centers_p[:-1])
+                # Masked (padding) edges are exempt from the order check
+                # (zero-padded trailing edges scatter zeros — harmless), but
+                # must be TRAILING (a real edge after a pad would sit in a
+                # wrong rank window).
+                if keys.EDGE_MASK in data:
+                    m = data[keys.EDGE_MASK]
+                    if m.shape[0] != Ep:
+                        m = jnp.pad(m, (0, Ep - m.shape[0]))
+                    pair_real = jnp.logical_and(m[1:], m[:-1])
+                    order_ok = jnp.all(
+                        jnp.logical_or(
+                            centers_p[1:] >= centers_p[:-1],
+                            jnp.logical_not(pair_real),
+                        )
+                    )
+                    pad_seen = jnp.cumsum(
+                        jnp.logical_not(m).astype(jnp.int32)
+                    ) > 0
+                    trailing_ok = jnp.logical_not(
+                        jnp.any(jnp.logical_and(m, pad_seen))
+                    )
+                    ok = jnp.logical_and(order_ok, trailing_ok)
+                else:
+                    ok = jnp.all(centers_p[1:] >= centers_p[:-1])
                 sh_p = jnp.where(ok, sh_p, jnp.nan)
             plan = (offs, win)
             n_rank = num_rank_rows(n_atoms, eb)

@@ -218,3 +218,46 @@ def test_stress_target_virial_vs_pbc_and_fd(rng):
         de = (energy_at(eps) - energy_at(-eps)) / 2
         expect = -h * w[a, a] if a == c else -(h / 2) * (w[a, c] + w[c, a])
         np.testing.assert_allclose(de, expect, rtol=1e-4, atol=1e-10)
+
+
+def test_export_roundtrip_fused_infer(rng):
+    """Deployed artifacts built on the FAST inference backend (fused_infer,
+    mega kernels): exported vs eager consistency — the backend actually used
+    for production pair_allegro deployment."""
+    import allegro_tpu.ops.fused_tp as fused_tp
+
+    fused_tp.INTERPRET = True
+    try:
+        model = AllegroModel(
+            r_max=2.6, type_names=["A", "B"], l_max=1, num_layers=1,
+            num_scalar_features=8, num_tensor_features=4,
+            scalar_embed_mlp_hidden_layers_width=8,
+            allegro_mlp_hidden_layers_width=8, readout_mlp_hidden_layers_width=8,
+            avg_num_neighbors=6.0, per_type_energy_scales=1.0,
+            per_type_energy_shifts=0.0, model_dtype="float64",
+            tp_kernel_backend="fused_infer",
+        )
+        fr = neighbor_list(_periodic_frame(rng), 2.6)
+        g = ghost_atom_conversion(fr)
+        g.pop("_ghost_owner")
+        n, e = g[keys.POSITIONS].shape[0], g[keys.EDGE_INDEX].shape[1]
+        n_pad, e_pad = n + 4, e + 16
+        b = to_jax(
+            batch_frames([g], n_atoms=n_pad, n_edges=e_pad, n_frames=1),
+            dtype=np.float64,
+        )
+        params = model.init(0, b)
+        direct = model.apply_with_derivatives(params, b)
+        blob = export_model(model, params, n_atoms=n_pad, n_edges=e_pad, dtype=np.float64)
+        loaded = load_exported(blob)
+        pos = np.zeros((n_pad, 3)); pos[:n] = g[keys.POSITIONS]
+        ei = np.zeros((2, e_pad), np.int32); ei[:, :e] = g[keys.EDGE_INDEX]
+        at = np.zeros(n_pad, np.int32); at[:n] = g[keys.ATOM_TYPES]
+        nm = np.zeros(n_pad, bool); nm[:n] = True
+        em = np.zeros(e_pad, bool); em[:e] = True
+        out = loaded(pos, ei, at, nm, em)
+        np.testing.assert_allclose(
+            np.asarray(out[keys.FORCES]), np.asarray(direct[keys.FORCES]), atol=1e-10
+        )
+    finally:
+        fused_tp.INTERPRET = False
