@@ -178,6 +178,50 @@ def run_benchmark(n_atoms=4096, r_max=4.0, iters=20, warmup=3, verbose=False, ba
     _ = float(d.sum())  # forces completion of the whole chain
     dt = (time.time() - t0) / iters
     us_per_atom = dt / n_atoms * 1e6
+
+    # per-phase split: energy-only forward vs the full force call (fwd+bwd) —
+    # the VERDICT-r2 "per-phase breakdown" signal
+    @jax.jit
+    def fwd_step(params, batch, d):
+        b = dict(batch)
+        b[keys.POSITIONS] = batch[keys.POSITIONS] + d
+        out = model.apply(params, b)
+        return 1e-12 * out[keys.TOTAL_ENERGY].sum() * jnp.ones_like(d)
+
+    fwd_ms = None
+    try:
+        d2 = jnp.zeros_like(batch[keys.POSITIONS])
+        d2 = fwd_step(params, batch, d2)
+        _ = float(d2.sum())
+        t0 = time.time()
+        for _ in range(max(iters // 2, 3)):
+            d2 = fwd_step(params, batch, d2)
+        _ = float(d2.sum())
+        fwd_ms = (time.time() - t0) / max(iters // 2, 3) * 1e3
+    except Exception:
+        pass
+
+    # measured on-device copy bandwidth: the roofline denominator for the
+    # HBM-bound kernels (copy reads+writes 2 bytes per byte of array)
+    copy_gbps = None
+    try:
+        big = jnp.zeros((64 * 1024 * 1024 // 4,), jnp.float32)  # 256 MB
+
+        @jax.jit
+        def bump(x):
+            return x + 1.0
+
+        big = bump(big)
+        _ = float(big[0])
+        t0 = time.time()
+        n_copy = 10
+        for _ in range(n_copy):
+            big = bump(big)
+        _ = float(big[0])
+        copy_gbps = 2 * big.nbytes * n_copy / (time.time() - t0) / 1e9
+    except Exception:
+        pass
+
     target = 1.0  # us/atom/step north-star (BASELINE.md)
     return {
         "metric": "md_force_call_us_per_atom",
@@ -194,6 +238,8 @@ def run_benchmark(n_atoms=4096, r_max=4.0, iters=20, warmup=3, verbose=False, ba
             "remat": bool(remat_flag),
             "tensor_dtype": tensor_dtype or "float32",
             "step_ms": round(dt * 1e3, 3),
+            "fwd_ms": round(fwd_ms, 3) if fwd_ms is not None else None,
+            "copy_GBps": round(copy_gbps, 1) if copy_gbps is not None else None,
             "device": str(jax.devices()[0]),
         },
     }
