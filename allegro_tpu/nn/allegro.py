@@ -304,6 +304,10 @@ class AllegroLayers(nn.Module):
             fused
             and self.tp_kernel_backend == "fused_infer"
             and len(self.mlp_hidden_dims) == 1
+            # per-irrep env weights: the mega kernel slices [S:] as
+            # [n_irr*U] directly (the shared-weight variant needs the tile
+            # expansion of the fallback path)
+            and self.weight_individual_irreps
             and os.environ.get("ALLEGRO_TP_BYPASS") != "1"
             and os.environ.get("ALLEGRO_NO_MEGA") != "1"
         ):

@@ -87,6 +87,27 @@ def test_energy_force_consistency(dtype_str, tol, coupling, backend, rng):
     )
 
 
+@pytest.mark.parametrize("backend", ["fused", "fused_infer"])
+def test_shared_env_weights_consistency(backend, rng):
+    """``weight_individual_irreps=False`` (one env weight per channel, shared
+    across irreps — reference ``allegro/nn/_strided/_channels.py`` knob): the
+    mega-kernel path slices per-irrep weight columns directly, so this config
+    must route through the fallback path and still match the einsum oracle."""
+    ref, fus = _models("float64", backend=backend, weight_individual_irreps=False)
+    data = _data(np.random.RandomState(11))
+    params = ref.init(0, data)
+    out_r = ref.apply_with_derivatives(params, data)
+    out_f = fus.apply_with_derivatives(params, data)
+    np.testing.assert_allclose(
+        np.asarray(out_f[keys.TOTAL_ENERGY]),
+        np.asarray(out_r[keys.TOTAL_ENERGY]),
+        atol=1e-10,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_f[keys.FORCES]), np.asarray(out_r[keys.FORCES]), atol=1e-9
+    )
+
+
 def test_padding_invariance_fused(rng):
     """Extra sentinel-padded edges/atoms must not change fused outputs."""
     ref, fus = _models("float64")
