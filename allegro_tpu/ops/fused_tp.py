@@ -66,6 +66,14 @@ def compute_dtype(*dts):
 # interpreter mode for CPU tests (set by tests/conftest via env or directly)
 INTERPRET = False
 
+# number of bf16 passes in the one-hot MXU products: 3 = exact f32 (default),
+# 2 = ~7.6e-6 relative error at 2/3 the MXU cost (opt-in speed knob between
+# exact and bf16 storage; see _split3_bf16). Env-tunable for the perf matrix.
+import os as _os
+
+ONEHOT_PASSES = int(_os.environ.get("ALLEGRO_ONEHOT_PASSES", "3"))
+assert ONEHOT_PASSES in (2, 3), ONEHOT_PASSES
+
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 
@@ -194,7 +202,7 @@ def _onehot_dot(g_bool, data, dtype):
     # differ from the MXU's exact f32 accumulation
     if dtype == jnp.float32 and not INTERPRET:
         g = g_bool.astype(jnp.bfloat16)
-        parts = _split3_bf16(data)
+        parts = _split3_bf16(data)[:ONEHOT_PASSES]
         out = None
         for part in parts:
             t = jax.lax.dot_general(
@@ -216,7 +224,7 @@ def _onehot_dot_right(data, g_bool, dtype):
     if dtype == jnp.float32 and not INTERPRET:
         g = g_bool.astype(jnp.bfloat16)
         out = None
-        for part in _split3_bf16(data):
+        for part in _split3_bf16(data)[:ONEHOT_PASSES]:
             t = jax.lax.dot_general(
                 part, g, _DN_ROWS, preferred_element_type=jnp.float32
             )
