@@ -455,6 +455,69 @@ def gather_tp_raw_call(x, eA, eB, w, offs_p, win, *, entries, dims, U, eb):
 
 
 # ---------------------------------------------------------------------------
+# feature-major I/O prototype of kernel B (layout experiment, see
+# scripts/probe_fm.py): per-edge tensor arrays and env windows enter/leave
+# as [C, Ep] / [C, n_rank_rows], so the kernel body runs entirely in the
+# feature-major form the VPU wants with ZERO in-kernel relayouts (the
+# edge-major kernels transpose every operand and the output in VMEM).
+# Gather/scatter ride the right-multiplied one-hot products exactly like the
+# center_sum/center_broadcast kernels. If the silicon race shows a win, the
+# whole family flips to this convention.
+# ---------------------------------------------------------------------------
+
+
+def _gather_tp_fm_kernel(
+    win_ref, offs_ref, x_ref, envA_ref, envB_ref, w_ref, out_ref, *, entries, dims, U, eb
+):
+    d1, d2, d3 = dims
+    o = offs_ref[0, :]
+    cdt = compute_dtype(x_ref.dtype, envA_ref.dtype)
+    # gather: env_e[:, e] = env[:, o_e] (two window tiles) — one-hot right-mult
+    ii = jax.lax.broadcasted_iota(jnp.int32, (eb, eb), 0)  # [atom, edge]
+    oc = o[None, :]
+    env_eT = _onehot_dot_right(envA_ref[...].astype(cdt), ii == oc, cdt)
+    env_eT = env_eT + _onehot_dot_right(
+        envB_ref[...].astype(cdt), ii == (oc - eb), cdt
+    )
+    xT = x_ref[...].astype(cdt)
+    wT = w_ref[...].astype(cdt)  # [U, P] (pre-transposed operand)
+    acc = _tp_accumulate_T(
+        lambda i: xT[i * U : (i + 1) * U, :],
+        lambda j: env_eT[j * U : (j + 1) * U, :],
+        wT, entries, U, d3,
+    )
+    out_ref[...] = _cat_T(acc, U, eb, cdt).astype(out_ref.dtype)
+
+
+def gather_tp_fm_call(xT, envAT, envBT, w, offs_p, win, *, entries, dims, U, eb):
+    """Feature-major twin of :func:`gather_tp_call`:
+    xT [d1*U, Ep], envAT/envBT [d2*U, Nr], w [P, U] → out [d3*U, Ep]."""
+    Ep = xT.shape[1]
+    nb = Ep // eb
+    d1, d2, d3 = dims
+    entries = sort_entries_for_pairs(entries)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((8, eb), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d1 * U, eb), lambda b, w_: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d2 * U, eb), lambda b, w_: (0, w_[b]), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d2 * U, eb), lambda b, w_: (0, w_[b] + 1), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((d3 * U, eb), lambda b, w_: (0, b), memory_space=pltpu.VMEM),
+    )
+    kern = functools.partial(_gather_tp_fm_kernel, entries=entries, dims=dims, U=U, eb=eb)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((d3 * U, Ep), xT.dtype),
+        grid_spec=grid_spec,
+        interpret=INTERPRET,
+    )(win, offs_p, xT, envAT, envBT, w.T)
+
+
+# ---------------------------------------------------------------------------
 # kernel C: TP + scatter   denv[r, jU+u] = Σ_{e: rank_e=r} Σ c w[p,u] x[e,iU+u] g[e,kU+u]
 # ---------------------------------------------------------------------------
 

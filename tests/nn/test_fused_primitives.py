@@ -105,7 +105,8 @@ def setup():
         return out
 
     return dict(
-        fused=fused, oracle=oracle, x=x, sh=sh, wexp=wexp, w=w, Ep=Ep, kw=kw, ekw=ekw
+        fused=fused, oracle=oracle, x=x, sh=sh, wexp=wexp, w=w, Ep=Ep, kw=kw,
+        ekw=ekw, offs=offs, win=win,
     )
 
 
@@ -161,3 +162,19 @@ def test_jvp_matches(setup):
     o2, t2 = jax.jvp(setup["oracle"], args, tangents)
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-10)
     np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), atol=1e-9)
+
+
+def test_feature_major_gather_tp_matches(setup):
+    """The feature-major I/O prototype (gather_tp_fm_call) is bit-identical
+    to the edge-major gather_tp_call — the layout experiment must be a pure
+    re-layout (scripts/probe_fm.py races them on silicon)."""
+    x, sh, wexp, w = setup["x"], setup["sh"], setup["wexp"], setup["w"]
+    kw, ekw = setup["kw"], setup["ekw"]
+    offs, win = setup["offs"], setup["win"]
+    import allegro_tpu.ops.fused_tp as ft
+
+    eA, eB = ft.env_scatter_call(sh, wexp, offs, win, **ekw)
+    env = ft.combine_scatter_outputs(eA, eB, win, EB)
+    want = ft.gather_tp_call(x, env, env, w, offs, win, **kw)
+    got_T = ft.gather_tp_fm_call(x.T, env.T, env.T, w, offs, win, **kw)
+    np.testing.assert_allclose(np.asarray(got_T.T), np.asarray(want), atol=0)
