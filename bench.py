@@ -30,18 +30,34 @@ from allegro_tpu.bench import (
 )
 from allegro_tpu.utils.chiplock import chip_lock
 
+def _benchmark_with_fallback(n_atoms, verbose):
+    """Headline bench; if the mega-kernel path fails on this chip/toolchain
+    (it is gated by env, not params), fall back to the plain fused kernels so
+    the driver still records a number."""
+    try:
+        return run_benchmark(n_atoms=n_atoms, verbose=verbose)
+    except Exception as e:
+        if os.environ.get("ALLEGRO_NO_MEGA") == "1":
+            raise
+        sys.stderr.write(f"mega path failed ({e!r}); retrying ALLEGRO_NO_MEGA=1\n")
+        os.environ["ALLEGRO_NO_MEGA"] = "1"
+        out = run_benchmark(n_atoms=n_atoms, verbose=verbose)
+        out["extra"]["mega_fallback_error"] = str(e)[:300]
+        return out
+
+
 if __name__ == "__main__":
     verbose = "-v" in sys.argv
     n = int(os.environ.get("BENCH_N_ATOMS", "4096"))
     with chip_lock(timeout=7200):  # serialize vs real-chip tests / other runs
-        result = run_benchmark(n_atoms=n, verbose=verbose)
+        result = _benchmark_with_fallback(n, verbose)
         if os.environ.get("BENCH_SKIP_EXTRA", "0") != "1":
             try:
                 # the BASELINE.md headline metric is defined AT 100k atoms —
                 # record the north-star system size in the same JSON line
                 # (bf16 tensor-track storage auto-selected; its force
                 # accuracy is pinned by tests/model/test_bf16_storage.py)
-                big = run_benchmark(n_atoms=100000, verbose=verbose)
+                big = _benchmark_with_fallback(100000, verbose)
                 result["extra"]["us_per_atom_100k"] = big["value"]
                 result["extra"]["n_atoms_100k"] = big["extra"]["n_atoms"]
                 result["extra"]["step_ms_100k"] = big["extra"]["step_ms"]

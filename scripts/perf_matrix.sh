@@ -34,4 +34,8 @@ from allegro_tpu.bench import run_parity
 mae, rel = run_parity()
 print(f'{{"force_mae_vs_f64": {mae:.3e}, "rel": {rel:.3e}}}')
 EOF
+echo "=== feature-major kernel race (probe_fm)" >> "$OUT"
+timeout 1800 python scripts/probe_fm.py >> "$OUT" 2>/dev/null
+echo "=== trace breakdown (4k, fused_infer)" >> "$OUT"
+timeout 1800 python scripts/trace_breakdown.py >> "$OUT" 2>/dev/null
 echo "done" >> "$OUT"
