@@ -31,6 +31,11 @@ EDGE_CUTOFF = "edge_cutoff"           # [E, 1] — smooth cutoff envelope value
 EDGE_EMBEDDING = "edge_embedding"     # [E, D] — two-body scalar embedding
 EDGE_ATTRS = "edge_attrs"             # [E, dim] — SH tensor basis (mul=1)
 EDGE_FEATURES = "edge_features"       # [E, mul, dim] — strided tensor features
+EDGE_FEATURE_WEIGHTS = "edge_feature_weights"  # [E, n_irr*mul] — the two-body
+                                      # channel weights (factor form of
+                                      # EDGE_FEATURES = sh ⊗ weights); the
+                                      # embed-fused layer-0 kernel consumes
+                                      # these and EDGE_FEATURES is DCE'd
 EDGE_SCALARS = "edge_scalars"         # tuple of [E, S] blocks — scalar track
                                       # (kept unconcatenated; ScalarMLP
                                       # consumers take pieces directly)

@@ -376,13 +376,27 @@ class AllegroLayers(nn.Module):
             tuple(dim_to_irr), U, eb, n_rank, S, wexp_dtype,
         )
         scalar_blocks = [lat_s]
-        x = features
+        # layer-0 input: prefer the FACTOR form of the tensor embedding
+        # (sh ⊗ two-body channel weights) — the embed-fused kernel builds x0
+        # on the fly, so the [Ep, d1*U] initial features and their cotangent
+        # never exist in HBM (the expanded EDGE_FEATURES is dead code)
+        w2b = data.get(keys.EDGE_FEATURE_WEIGHTS)
+        if w2b is not None:
+            if w2b.shape[0] != Ep:
+                w2b = jnp.pad(w2b, ((0, Ep - w2b.shape[0]), (0, 0)))
+            x = w2b.astype(self.param_dtype)
+            in_dims = self._input_dims or tuple(range(len(dim_to_irr)))
+            row_specs = tuple((j, dim_to_irr[j]) for j in in_dims)
+        else:
+            x = features
+            row_specs = ()
 
         body = AllegroLayers._mega_layer_body
         if self.remat:
             body = nn.remat(body, static_argnums=(1,), prevent_cse=False)
         for layer in range(self.num_layers):
-            statics = (layer, Ep, U, S, n_rank, eb)
+            embed0 = layer == 0 and w2b is not None
+            statics = (layer, Ep, U, S, n_rank, eb, embed0, row_specs)
             x, lat_s, eA, eB = body(
                 self, statics, x, eA, eB, tuple(scalar_blocks), sh_p, offs, win
             )
@@ -390,16 +404,30 @@ class AllegroLayers(nn.Module):
         return tuple(b[:E] for b in scalar_blocks)
 
     def _mega_layer_body(self, statics, x, eA, eB, scalars_tuple, sh_p, offs, win):
-        layer, Ep, U, S, n_rank, eb = statics
+        layer, Ep, U, S, n_rank, eb, embed0, row_specs = statics
         wexp_dtype = (
             jnp.dtype(self.tensor_dtype) if self.tensor_dtype is not None else None
         )
-        from ..ops.fused_primitives import gather_tp_infer, mega_latent_env
+        from ..ops.fused_primitives import (
+            gather_tp_embed_infer,
+            gather_tp_infer,
+            mega_latent_env,
+        )
 
         wk, entries, dims, dim_to_irr = self.tps[layer].fused_infer_parts(x.dtype)
-        feats = gather_tp_infer(
-            x, eA, eB, wk, offs, win, tuple(entries), tuple(dims), U, eb, n_rank
-        )
+        if embed0:
+            # x is the [Ep, n_irr*U] two-body channel weights; x0 is built
+            # in-kernel from (sh, x) per row_specs
+            out_dtype = wexp_dtype or jnp.dtype(self.param_dtype)
+            feats = gather_tp_embed_infer(
+                sh_p, x, eA, eB, wk, offs, win, tuple(entries), tuple(dims),
+                U, eb, n_rank, row_specs, out_dtype,
+            )
+        else:
+            feats = gather_tp_infer(
+                x, eA, eB, wk, offs, win, tuple(entries), tuple(dims), U, eb,
+                n_rank,
+            )
         tp_scalars = feats[:, :U].astype(self.param_dtype)
         last = layer == self.num_layers - 1
         if last:

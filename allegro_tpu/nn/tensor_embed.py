@@ -53,6 +53,10 @@ class TwoBodySphericalHarmonicTensorEmbed(nn.Module):
         )(data[keys.EDGE_EMBEDDING])
         out = dict(data)
         out[keys.EDGE_ATTRS] = sh
+        # factor form for the embed-fused layer-0 kernel (mega path): the
+        # [E, n_irr*mul] weights alone; under jit the expanded EDGE_FEATURES
+        # below is dead code there and costs nothing
+        out[keys.EDGE_FEATURE_WEIGHTS] = weights
         # padded edges: weights are exactly 0 (zero embedding through a
         # bias-free linear), so features vanish there
         if self.features_layout == "flat_dim_major":

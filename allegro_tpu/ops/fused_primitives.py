@@ -869,3 +869,40 @@ def _esi_bwd(dim_to_irr, U, eb, n_rank_rows, res, ct):
 
 
 env_scatter_infer.defvjp(_esi_fwd, _esi_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
+def gather_tp_embed_infer(sh, w2b, eA, eB, w, offs, win, entries, dims, U, eb,
+                          n_rank_rows, row_specs, out_dtype):
+    """Layer-0 gather+TP with the two-body tensor embedding fused IN-KERNEL:
+    the initial tensor features x0[e, i*U+u] = sh[e, j_i] * w2b[e, irr_i*U+u]
+    (reference ``allegro/nn/tensorembed.py:85-96``) are built on the fly from
+    the small factors — the [E, d1*U] x0 and its cotangent never exist in HBM.
+    Inference scope (one-pass fused backward; NaN weight cotangent)."""
+    return fused_tp.gather_tp_embed_raw_call(
+        sh, w2b, eA, eB, w, offs, win, entries=entries, dims=dims, U=U, eb=eb,
+        row_specs=row_specs, out_dtype=out_dtype,
+    )
+
+
+def _gtei_fwd(sh, w2b, eA, eB, w, offs, win, entries, dims, U, eb,
+              n_rank_rows, row_specs, out_dtype):
+    out = gather_tp_embed_infer(
+        sh, w2b, eA, eB, w, offs, win, entries, dims, U, eb, n_rank_rows,
+        row_specs, out_dtype,
+    )
+    return out, (sh, w2b, eA, eB, w, offs, win)
+
+
+def _gtei_bwd(entries, dims, U, eb, n_rank_rows, row_specs, out_dtype, res, g):
+    sh, w2b, eA, eB, w, offs, win = res
+    dsh, dw2b, dA, dB = fused_tp.bwd_embed_raw_call(
+        sh, w2b, g, eA, eB, w, offs, win, entries=entries, dims=dims, U=U,
+        eb=eb, n_rank_rows=n_rank_rows, row_specs=row_specs,
+    )
+    dw = jnp.full(w.shape, jnp.nan, fused_tp.compute_dtype(w.dtype))
+    return (_cast_ct(dsh, _Aval(sh)), _cast_ct(dw2b, _Aval(w2b)), dA, dB,
+            _cast_ct(dw, _Aval(w)), _f0_like(offs), _f0_like(win))
+
+
+gather_tp_embed_infer.defvjp(_gtei_fwd, _gtei_bwd)

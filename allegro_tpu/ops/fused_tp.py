@@ -455,6 +455,222 @@ def gather_tp_raw_call(x, eA, eB, w, offs_p, win, *, entries, dims, U, eb):
 
 
 # ---------------------------------------------------------------------------
+# embed-fused kernel B (layer 0): the initial tensor features
+#   x0[e, i*U+u] = sh[e, dims_map[i]] * w2b[e, irr(dims_map[i])*U+u]
+# (the two-body tensor embedding, reference allegro/nn/tensorembed.py:85-96)
+# are built ON THE FLY inside the gather+TP kernel from the tiny factors
+# (sh [E, d_sh], w2b [E, n_irr*U]) — the [E, d1*U] initial features and their
+# [E, d1*U] cotangent never exist in HBM (~4x [E, 288]-sized passes/step at
+# production edge counts). ``dims_map`` applies the ladder's backward pruning
+# of the layer-0 input irreps as a static row selection.
+# ---------------------------------------------------------------------------
+
+
+def _embed_rows(shT, w2bT, row_specs, U):
+    """Lazy per-dim builder of x0 row blocks [U, eb] from the factors."""
+    cache = {}
+
+    def rows(i):
+        if i not in cache:
+            j, irr = row_specs[i]
+            cache[i] = shT[j : j + 1, :] * w2bT[irr * U : (irr + 1) * U, :]
+        return cache[i]
+
+    return rows
+
+
+def _gather_tp_embed_raw_kernel(
+    win_ref, offs_ref, sh_ref, w2b_ref, Aw_ref, Aw1_ref, Bw_ref, Bw1_ref, w_ref,
+    out_ref, *, entries, dims, U, eb, nb, row_specs
+):
+    d1, d2, d3 = dims
+    o = offs_ref[0, :]
+    cdt = compute_dtype(w2b_ref.dtype, Aw_ref.dtype)
+    envW, envW1 = _combine_window_tiles(
+        win_ref, nb, Aw_ref[...], Aw1_ref[...], Bw_ref[...], Bw1_ref[...], cdt
+    )
+    env_eT = _gather_windows(o, envW, envW1, eb, cdt).T
+    shT = sh_ref[...].astype(cdt)          # [d_sh, eb] (pre-transposed operand)
+    w2bT = w2b_ref[...].astype(cdt).T      # [n_irr*U, eb]
+    wT = w_ref[...].astype(cdt).T
+    x_rows = _embed_rows(shT, w2bT, row_specs, U)
+    acc = _tp_accumulate_T(
+        x_rows,
+        lambda j: env_eT[j * U : (j + 1) * U, :],
+        wT, entries, U, d3,
+    )
+    out_ref[...] = _cat_T(acc, U, eb, cdt).T.astype(out_ref.dtype)
+
+
+def gather_tp_embed_raw_call(
+    sh, w2b, eA, eB, w, offs_p, win, *, entries, dims, U, eb, row_specs,
+    out_dtype=None,
+):
+    """sh [Ep, d_sh], w2b [Ep, n_irr*U], raw env pair → out [Ep, d3*U].
+
+    ``row_specs``: tuple of (sh_dim, irrep) per layer-0 input dim (the
+    ladder-pruned selection)."""
+    Ep = sh.shape[0]
+    nb = Ep // eb
+    d1, d2, d3 = dims
+    assert d1 == len(row_specs), (d1, row_specs)
+    d_sh = sh.shape[1]
+    n_cols = w2b.shape[1]
+    entries = sort_entries_for_pairs(entries)
+    sh_t = sh.T
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((8, eb), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_sh, eb), lambda b, w_: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((eb, n_cols), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+            *_env_pair_specs(d2 * U, eb),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((eb, d3 * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+    )
+    kern = functools.partial(
+        _gather_tp_embed_raw_kernel, entries=entries, dims=dims, U=U, eb=eb,
+        nb=nb, row_specs=tuple(row_specs),
+    )
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(
+            (Ep, d3 * U), out_dtype or compute_dtype(w2b.dtype)
+        ),
+        grid_spec=grid_spec,
+        interpret=INTERPRET,
+    )(win, offs_p, sh_t, w2b, eA, eA, eB, eB, w)
+
+
+def _bwd_embed_raw_kernel(
+    win_ref, offs_ref, sh_ref, w2b_ref, g_ref, Aw_ref, Aw1_ref, Bw_ref, Bw1_ref,
+    w_ref, dsh_ref, dw2b_ref, dA_ref, dB_ref, *, entries, dims, U, eb, nb,
+    row_specs, n_irr
+):
+    """Backward of the embed-fused gather+TP: (dsh, dw2b, denv pair) in one
+    pass — dx never exists; its role is played by in-register [U, eb] blocks
+    immediately reduced onto the factors (the unweight_both pattern)."""
+    d1, d2, d3 = dims
+    d_sh = dsh_ref.shape[0]
+    o = offs_ref[0, :]
+    cdt = compute_dtype(w2b_ref.dtype, g_ref.dtype, Aw_ref.dtype)
+    envW, envW1 = _combine_window_tiles(
+        win_ref, nb, Aw_ref[...], Aw1_ref[...], Bw_ref[...], Bw1_ref[...], cdt
+    )
+    env_eT = _gather_windows(o, envW, envW1, eb, cdt).T
+    shT = sh_ref[...].astype(cdt)
+    w2bT = w2b_ref[...].astype(cdt).T
+    gT = g_ref[...].astype(cdt).T
+    wT = w_ref[...].astype(cdt).T
+    x_rows = _embed_rows(shT, w2bT, row_specs, U)
+
+    # dx[i] = Σ c w[p] g_k env_j — reduced in-register onto (dsh, dw2b)
+    dx_acc = [None] * d1
+    cur = (-1, -1)
+    t = None
+    for k, j, i, p, c in sorted((k, j, i, p, c) for (i, j, k, p, c) in entries):
+        if (k, j) != cur:
+            t = gT[k * U : (k + 1) * U, :] * env_eT[j * U : (j + 1) * U, :]
+            cur = (k, j)
+        contrib = t * (c * wT[:, p][:, None])
+        dx_acc[i] = contrib if dx_acc[i] is None else dx_acc[i] + contrib
+    dsh_rows = [None] * d_sh
+    dw2b_acc = [None] * n_irr
+    for i in range(d1):
+        if dx_acc[i] is None:
+            continue
+        jdim, irr = row_specs[i]
+        red = jnp.sum(
+            dx_acc[i] * w2bT[irr * U : (irr + 1) * U, :], axis=0, keepdims=True
+        )
+        dsh_rows[jdim] = red if dsh_rows[jdim] is None else dsh_rows[jdim] + red
+        prod = dx_acc[i] * shT[jdim : jdim + 1, :]
+        dw2b_acc[irr] = prod if dw2b_acc[irr] is None else dw2b_acc[irr] + prod
+    zero_row = jnp.zeros((1, eb), cdt)
+    dsh_ref[...] = jnp.concatenate(
+        [r if r is not None else zero_row for r in dsh_rows], axis=0
+    ).astype(dsh_ref.dtype)
+    dw2b_ref[...] = jnp.concatenate(
+        [a if a is not None else jnp.zeros((U, eb), cdt) for a in dw2b_acc],
+        axis=0,
+    ).T.astype(dw2b_ref.dtype)
+
+    # denv[j] = Σ c w[p] x_i g_k — x built on the fly
+    denv_acc = [None] * d2
+    cur = (-1, -1)
+    t = None
+    for i, k, j, p, c in sorted((i, k, j, p, c) for (i, j, k, p, c) in entries):
+        if (i, k) != cur:
+            t = x_rows(i) * gT[k * U : (k + 1) * U, :]
+            cur = (i, k)
+        contrib = t * (c * wT[:, p][:, None])
+        denv_acc[j] = contrib if denv_acc[j] is None else denv_acc[j] + contrib
+    vals = _cat_T(denv_acc, U, eb, cdt).T
+    sa, sb = _scatter_windows(o, vals, eb, cdt)
+    first = _first_visit(win_ref)
+
+    @pl.when(first)
+    def _():
+        dA_ref[...] = jnp.zeros_like(dA_ref)
+        dB_ref[...] = jnp.zeros_like(dB_ref)
+
+    dA_ref[...] = dA_ref[...] + sa.astype(dA_ref.dtype)
+    dB_ref[...] = dB_ref[...] + sb.astype(dB_ref.dtype)
+
+
+def bwd_embed_raw_call(
+    sh, w2b, g, eA, eB, w, offs_p, win, *, entries, dims, U, eb, n_rank_rows,
+    row_specs,
+):
+    """→ (dsh [Ep, d_sh], dw2b [Ep, n_irr*U], dA, dB [Nr, d2*U])."""
+    Ep = sh.shape[0]
+    nb = Ep // eb
+    d1, d2, d3 = dims
+    d_sh = sh.shape[1]
+    n_cols = w2b.shape[1]
+    n_irr = n_cols // U
+    sh_t = sh.T
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((8, eb), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_sh, eb), lambda b, w_: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((eb, n_cols), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((eb, d3 * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+            *_env_pair_specs(d2 * U, eb),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((d_sh, eb), lambda b, w_: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((eb, n_cols), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
+        ],
+    )
+    kern = functools.partial(
+        _bwd_embed_raw_kernel, entries=tuple(entries), dims=dims, U=U, eb=eb,
+        nb=nb, row_specs=tuple(row_specs), n_irr=n_irr,
+    )
+    cdt = compute_dtype(w2b.dtype, g.dtype)
+    env_shape = jax.ShapeDtypeStruct((n_rank_rows, d2 * U), cdt)
+    dshT, dw2b, dA, dB = pl.pallas_call(
+        kern,
+        out_shape=[
+            jax.ShapeDtypeStruct((d_sh, Ep), cdt),
+            jax.ShapeDtypeStruct((Ep, n_cols), cdt),
+            env_shape,
+            env_shape,
+        ],
+        grid_spec=grid_spec,
+        interpret=INTERPRET,
+    )(win, offs_p, sh_t, w2b, g, eA, eA, eB, eB, w)
+    return dshT.T, dw2b, dA, dB
+
+
+# ---------------------------------------------------------------------------
 # feature-major I/O prototype of kernel B (layout experiment, see
 # scripts/probe_fm.py): per-edge tensor arrays and env windows enter/leave
 # as [C, Ep] / [C, n_rank_rows], so the kernel body runs entirely in the

@@ -50,6 +50,20 @@ def test_md_driver_trajectory_parity_vs_python():
     env = dict(os.environ)
     # the check drives the real chip — undo the CPU-platform pin from conftest
     env.pop("JAX_PLATFORMS", None)
+    # tunnel outages should SKIP, not fail: probe device reachability first
+    # (a fresh subprocess — this process is pinned to CPU by conftest)
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; assert jax.devices()[0].platform != 'cpu'"],
+            capture_output=True, timeout=240, env=env,
+        )
+    except subprocess.TimeoutExpired:
+        pytest.skip("PJRT device unreachable (tunnel down): probe timed out")
+    if probe.returncode != 0:
+        pytest.skip(
+            f"PJRT device unreachable: {probe.stderr.decode()[-200:]}"
+        )
     from allegro_tpu.utils.chiplock import chip_lock
 
     with chip_lock(timeout=3600):
