@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Any, Callable, Dict, Optional, Sequence, Union
 
 import flax.linen as nn
@@ -88,6 +89,80 @@ class FieldMLP(nn.Module):
             precision=self.precision,
         )(data[self.field])
         return out
+
+
+class FusedEdgeReadoutSum(nn.Module):
+    """``edge_readout`` + ``edge_sum`` as ONE stage for the inference backend:
+    when the fused statics are armed, the readout MLP and the edges→atoms
+    energy scatter run as a single Pallas kernel (hidden activation and
+    per-edge energies never exist in HBM — reference chain
+    ``allegro/model/allegro_models.py:238-248``); otherwise it falls back to
+    the exact XLA chain. The edgewise numerics ``factor`` is folded into the
+    MLP's last weight matrix (``ScalarMLP.out_col_scale`` — exact by
+    linearity). Param pytree identical to ``FieldMLP`` (inner module named
+    ``mlp``); the replaced ``EdgewiseReduce`` was stateless."""
+
+    hidden_dims: Sequence[int] = ()
+    nonlinearity: Optional[Callable] = nn.silu
+    param_dtype: jnp.dtype = jnp.float32
+    precision: Optional[str] = "highest"
+    factor: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, data: Dict) -> Dict:
+        mlp = ScalarMLP(
+            1,
+            hidden_dims=tuple(self.hidden_dims),
+            nonlinearity=self.nonlinearity,
+            name="mlp",
+            param_dtype=self.param_dtype,
+            precision=self.precision,
+            out_col_scale=None if self.factor is None else (0, self.factor),
+        )
+        blocks = data[keys.EDGE_SCALARS]
+        pieces = tuple(blocks) if isinstance(blocks, (tuple, list)) else (blocks,)
+        n_atoms = data[keys.POSITIONS].shape[0]
+        fused_ok = (
+            keys.FUSED_OFFS in data
+            and keys.CENTER_RANK_IDENTITY in data
+            and len(self.hidden_dims) <= 1
+            and self.nonlinearity is nn.silu
+            # kill-switch mirroring ALLEGRO_NO_MEGA: force the exact XLA
+            # chain (ablation + bench fallback if Mosaic rejects the kernel)
+            and os.environ.get("ALLEGRO_NO_FUSED_READOUT") != "1"
+        )
+        out = dict(data)
+        if fused_ok:
+            from ..ops.fused_primitives import readout_sum_infer
+            from ..ops.fused_tp import num_rank_rows
+
+            offs, win = data[keys.FUSED_OFFS], data[keys.FUSED_WIN]
+            eb = offs.shape[1]
+            Ep = offs.shape[0] // 8 * eb
+            pieces = tuple(
+                p if p.shape[0] == Ep else jnp.pad(
+                    p, ((0, Ep - p.shape[0]), (0, 0))
+                )
+                for p in pieces
+            )
+            n_hidden = len(self.hidden_dims)
+            ws = mlp(pieces, return_weights=True)
+            w0 = ws[0]
+            w1 = ws[1] if n_hidden else None
+            per_atom = readout_sum_infer(
+                pieces, w0, w1, offs, win, eb,
+                num_rank_rows(n_atoms, eb), n_atoms, n_hidden,
+            )
+            out[keys.PER_ATOM_ENERGY] = per_atom.astype(self.param_dtype)
+            return out
+        # exact XLA fallback (training-capable; identical math)
+        E = data[keys.EDGE_INDEX].shape[1]
+        pieces = tuple(p[:E] for p in pieces)
+        edge_e = mlp(list(pieces))
+        out[keys.EDGE_ENERGY] = edge_e
+        return EdgewiseReduce(
+            field=keys.EDGE_ENERGY, out_field=keys.PER_ATOM_ENERGY, factor=None
+        )(out)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -382,26 +457,50 @@ def FullAllegroEnergyModel(
                 tensor_dtype=tensor_dtype,
             ),
         ),
-        (
-            "edge_readout",
-            FieldMLP(
-                field=keys.EDGE_SCALARS,
-                out_field=keys.EDGE_ENERGY,
-                output_dim=1,
-                hidden_dims=(readout_mlp_hidden_layers_width,)
-                * readout_mlp_hidden_layers_depth,
-                nonlinearity=NONLINEARITIES[readout_mlp_nonlinearity],
-                param_dtype=dtype,
-                precision=prec,
-            ),
-        ),
-        (
-            "edge_sum",
-            EdgewiseReduce(
-                field=keys.EDGE_ENERGY,
-                out_field=keys.PER_ATOM_ENERGY,
-                factor=1.0 / math.sqrt(2.0 * avg_n),
-            ),
+        # readout stage(s): fused_infer gets the single fused stage (readout
+        # MLP + edges→atoms energy scatter in one kernel when statics are
+        # armed; the EdgewiseReduce factor folds into the MLP's last weight
+        # matrix). Other backends keep the two-stage XLA chain. Param pytree
+        # identical either way ("mlp" under "edge_readout"; the reduce is
+        # stateless).
+        *(
+            [
+                (
+                    "edge_readout",
+                    FusedEdgeReadoutSum(
+                        hidden_dims=(readout_mlp_hidden_layers_width,)
+                        * readout_mlp_hidden_layers_depth,
+                        nonlinearity=NONLINEARITIES[readout_mlp_nonlinearity],
+                        param_dtype=dtype,
+                        precision=prec,
+                        factor=1.0 / math.sqrt(2.0 * avg_n),
+                    ),
+                )
+            ]
+            if tp_kernel_backend == "fused_infer"
+            else [
+                (
+                    "edge_readout",
+                    FieldMLP(
+                        field=keys.EDGE_SCALARS,
+                        out_field=keys.EDGE_ENERGY,
+                        output_dim=1,
+                        hidden_dims=(readout_mlp_hidden_layers_width,)
+                        * readout_mlp_hidden_layers_depth,
+                        nonlinearity=NONLINEARITIES[readout_mlp_nonlinearity],
+                        param_dtype=dtype,
+                        precision=prec,
+                    ),
+                ),
+                (
+                    "edge_sum",
+                    EdgewiseReduce(
+                        field=keys.EDGE_ENERGY,
+                        out_field=keys.PER_ATOM_ENERGY,
+                        factor=1.0 / math.sqrt(2.0 * avg_n),
+                    ),
+                ),
+            ]
         ),
         (
             "per_type_scale_shift",

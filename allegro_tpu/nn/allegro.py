@@ -401,7 +401,10 @@ class AllegroLayers(nn.Module):
                 self, statics, x, eA, eB, tuple(scalar_blocks), sh_p, offs, win
             )
             scalar_blocks.append(lat_s)
-        return tuple(b[:E] for b in scalar_blocks)
+        # blocks stay PADDED [Ep, S]: the fused readout stage consumes them
+        # directly (padded rows are exactly zero — bias-free MLPs on zero
+        # inputs); non-fused consumers trim to the edge count themselves
+        return tuple(scalar_blocks)
 
     def _mega_layer_body(self, statics, x, eA, eB, scalars_tuple, sh_p, offs, win):
         layer, Ep, U, S, n_rank, eb, embed0, row_specs = statics

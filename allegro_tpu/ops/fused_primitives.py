@@ -906,3 +906,44 @@ def _gtei_bwd(entries, dims, U, eb, n_rank_rows, row_specs, out_dtype, res, g):
 
 
 gather_tp_embed_infer.defvjp(_gtei_fwd, _gtei_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def readout_sum_infer(pieces, w0, w1, offs, win, eb, n_rank_rows, n_atoms,
+                      n_hidden):
+    """Fused readout: the per-edge readout MLP and the edges→atoms energy
+    scatter run as one kernel (the hidden activation and the per-edge energy
+    never exist in HBM) — the reference chain FieldMLP('edge_energy') →
+    EdgewiseReduce (``allegro/model/allegro_models.py:238-248``), kernelized.
+    Inference scope: weight cotangents are NaN by design (train with the
+    XLA readout, whose math is identical)."""
+    eA, eB = fused_tp.readout_sum_call(
+        pieces, w0, w1, offs, win, eb=eb, n_rank_rows=n_rank_rows,
+        n_hidden=n_hidden,
+    )
+    combined = fused_tp.combine_scatter_outputs(eA, eB, win, eb)
+    return combined[:n_atoms]
+
+
+def _rsi_fwd(pieces, w0, w1, offs, win, eb, n_rank_rows, n_atoms, n_hidden):
+    out = readout_sum_infer(pieces, w0, w1, offs, win, eb, n_rank_rows,
+                            n_atoms, n_hidden)
+    return out, (pieces, w0, w1, offs, win)
+
+
+def _rsi_bwd(eb, n_rank_rows, n_atoms, n_hidden, res, g):
+    pieces, w0, w1, offs, win = res
+    y_ct = jnp.zeros((n_rank_rows, 1), fused_tp.compute_dtype(g.dtype))
+    y_ct = y_ct.at[:n_atoms].set(g.astype(y_ct.dtype))
+    dpieces = fused_tp.readout_bwd_call(
+        pieces, w0, w1, y_ct, offs, win, eb=eb, n_hidden=n_hidden
+    )
+    dpieces = tuple(_cast_ct(dp, _Aval(p)) for dp, p in zip(dpieces, pieces))
+    dw0 = jnp.full(w0.shape, jnp.nan, fused_tp.compute_dtype(w0.dtype))
+    dw1 = None if w1 is None else jnp.full(
+        w1.shape, jnp.nan, fused_tp.compute_dtype(w1.dtype)
+    )
+    return (dpieces, dw0, dw1, _f0_like(offs), _f0_like(win))
+
+
+readout_sum_infer.defvjp(_rsi_fwd, _rsi_bwd)

@@ -1602,6 +1602,157 @@ def latent_env_scatter_call(
     )(*args)
 
 
+def _readout_sum_kernel(
+    win_ref, offs_ref, *refs, piece_dims, eb, n_hidden
+):
+    """Readout MLP + per-atom energy scatter in one pass: the hidden
+    activation [E, H] and the per-edge energy [E, 1] never exist in HBM
+    (role of the reference chain FieldMLP('edge_energy') → EdgewiseReduce,
+    ``allegro/model/allegro_models.py:238-248``)."""
+    np_ = len(piece_dims)
+    piece_refs = refs[:np_]
+    w0_ref = refs[np_]
+    w1_ref = refs[np_ + 1] if n_hidden else None
+    outA_ref, outB_ref = refs[-2:]
+    o = offs_ref[0, :]
+    cdt = compute_dtype(*(r.dtype for r in piece_refs))
+    _, e = _mlp_lat(
+        [r[...] for r in piece_refs], w0_ref, w1_ref, piece_dims, n_hidden, cdt
+    )  # [eb, 1]
+    sa, sb = _scatter_windows(o, e, eb, cdt)
+    first = _first_visit(win_ref)
+
+    @pl.when(first)
+    def _():
+        outA_ref[...] = jnp.zeros_like(outA_ref)
+        outB_ref[...] = jnp.zeros_like(outB_ref)
+
+    outA_ref[...] = outA_ref[...] + sa.astype(outA_ref.dtype)
+    outB_ref[...] = outB_ref[...] + sb.astype(outB_ref.dtype)
+
+
+def readout_sum_call(pieces, w0, w1, offs_p, win, *, eb, n_rank_rows, n_hidden):
+    """pieces (tuple of [Ep, S_i]), w0 [ΣS_i, H], w1 [H, 1] (or w1=None,
+    n_hidden=0, w0 [ΣS_i, 1]) → (eA, eB) per-atom energy window partials
+    [Nr, 1]; combine + slice [:n_atoms] outside."""
+    Ep = pieces[0].shape[0]
+    nb = Ep // eb
+    piece_dims = tuple(int(p.shape[1]) for p in pieces)
+    in_specs = [pl.BlockSpec((8, eb), lambda b, w_: (b, 0), memory_space=pltpu.VMEM)]
+    for d in piece_dims:
+        in_specs.append(
+            pl.BlockSpec((eb, d), lambda b, w_: (b, 0), memory_space=pltpu.VMEM)
+        )
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # w0
+    args = [win, offs_p, *pieces, w0]
+    if n_hidden:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # w1
+        args.append(w1)
+    out_specs = [
+        pl.BlockSpec((eb, 1), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((eb, 1), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
+    ]
+    cdt = compute_dtype(*(p.dtype for p in pieces))
+    shape = jax.ShapeDtypeStruct((n_rank_rows, 1), cdt)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(nb,), in_specs=in_specs, out_specs=out_specs
+    )
+    kern = functools.partial(
+        _readout_sum_kernel, piece_dims=piece_dims, eb=eb, n_hidden=n_hidden
+    )
+    return pl.pallas_call(
+        kern,
+        out_shape=[shape, shape],
+        grid_spec=grid_spec,
+        interpret=INTERPRET,
+    )(*args)
+
+
+def _readout_bwd_kernel(
+    win_ref, offs_ref, *refs, piece_dims, eb, n_hidden
+):
+    """Backward of the fused readout: gathers the per-atom energy cotangent
+    to edges, recomputes the MLP forward, and backpropagates to the piece
+    cotangents — one pass, no stored activations."""
+    np_ = len(piece_dims)
+    piece_refs = refs[:np_]
+    k = np_
+    w0_ref = refs[k]; k += 1
+    w1_ref = refs[k] if n_hidden else None
+    if n_hidden:
+        k += 1
+    yA_ref, yB_ref = refs[k : k + 2]
+    dpiece_refs = refs[k + 2 :]
+    o = offs_ref[0, :]
+    cdt = compute_dtype(*(r.dtype for r in piece_refs))
+    piece_vals = [r[...] for r in piece_refs]
+    pre, _ = _mlp_lat(piece_vals, w0_ref, w1_ref, piece_dims, n_hidden, cdt)
+    e_ct = _gather_windows(o, yA_ref[...], yB_ref[...], eb, cdt)  # [eb, 1]
+    if n_hidden:
+        dh = jax.lax.dot_general(
+            e_ct, w1_ref[...].astype(cdt), (((1,), (1,)), ((), ())),
+            precision=_HIGHEST, preferred_element_type=cdt,
+        )
+        sig = jax.nn.sigmoid(pre)
+        dh = dh * (sig * (1.0 + pre * (1.0 - sig)))
+    else:
+        dh = e_ct
+    w0 = w0_ref[...].astype(cdt)
+    off = 0
+    for r, d in zip(dpiece_refs, piece_dims):
+        dp = jax.lax.dot_general(
+            dh, w0[off : off + d, :], (((1,), (1,)), ((), ())),
+            precision=_HIGHEST, preferred_element_type=cdt,
+        )
+        r[...] = dp.astype(r.dtype)
+        off += d
+
+
+def readout_bwd_call(pieces, w0, w1, y_ct, offs_p, win, *, eb, n_hidden):
+    """y_ct [Nr, 1] per-rank-row cotangent → dpieces tuple [Ep, S_i]."""
+    Ep = pieces[0].shape[0]
+    nb = Ep // eb
+    piece_dims = tuple(int(p.shape[1]) for p in pieces)
+    cdt = compute_dtype(*(p.dtype for p in pieces))
+    in_specs = [pl.BlockSpec((8, eb), lambda b, w_: (b, 0), memory_space=pltpu.VMEM)]
+    for d in piece_dims:
+        in_specs.append(
+            pl.BlockSpec((eb, d), lambda b, w_: (b, 0), memory_space=pltpu.VMEM)
+        )
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # w0
+    args = [win, offs_p, *pieces, w0]
+    if n_hidden:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # w1
+        args.append(w1)
+    in_specs.append(
+        pl.BlockSpec((eb, 1), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM)
+    )
+    in_specs.append(
+        pl.BlockSpec((eb, 1), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM)
+    )
+    args.extend([y_ct, y_ct])
+    out_specs = []
+    out_shape = []
+    for d in piece_dims:
+        out_specs.append(
+            pl.BlockSpec((eb, d), lambda b, w_: (b, 0), memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((Ep, d), cdt))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(nb,), in_specs=in_specs, out_specs=out_specs
+    )
+    kern = functools.partial(
+        _readout_bwd_kernel, piece_dims=piece_dims, eb=eb, n_hidden=n_hidden
+    )
+    outs = pl.pallas_call(
+        kern,
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+        interpret=INTERPRET,
+    )(*args)
+    return tuple(outs)
+
+
 def _latent_env_bwd_kernel(
     win_ref, offs_ref, *refs, piece_dims, dim_to_irr, U, eb, S, n_hidden,
     wexp_dtype, nb

@@ -38,10 +38,19 @@ def _benchmark_with_fallback(n_atoms, verbose):
         return run_benchmark(n_atoms=n_atoms, verbose=verbose)
     except Exception as e:
         if os.environ.get("ALLEGRO_NO_MEGA") == "1":
-            raise
+            if os.environ.get("ALLEGRO_NO_FUSED_READOUT") == "1":
+                raise
+            sys.stderr.write(
+                f"fused path failed again ({e!r}); retrying "
+                "ALLEGRO_NO_FUSED_READOUT=1\n"
+            )
+            os.environ["ALLEGRO_NO_FUSED_READOUT"] = "1"
+            out = run_benchmark(n_atoms=n_atoms, verbose=verbose)
+            out["extra"]["readout_fallback_error"] = str(e)[:300]
+            return out
         sys.stderr.write(f"mega path failed ({e!r}); retrying ALLEGRO_NO_MEGA=1\n")
         os.environ["ALLEGRO_NO_MEGA"] = "1"
-        out = run_benchmark(n_atoms=n_atoms, verbose=verbose)
+        out = _benchmark_with_fallback(n_atoms, verbose)
         out["extra"]["mega_fallback_error"] = str(e)[:300]
         return out
 

@@ -101,3 +101,64 @@ def test_statics_do_not_change_training_grads(rng):
     g_pre = jax.grad(loss(pre))(params)
     for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_pre)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-10, rtol=1e-8)
+
+
+def test_no_fused_readout_killswitch(rng, monkeypatch):
+    """ALLEGRO_NO_FUSED_READOUT=1 (the bench fallback if Mosaic rejects the
+    readout kernel) must route the statics-armed fused_infer model through
+    the exact XLA readout — including trimming the mega path's padded
+    scalar blocks — with identical outputs."""
+    model = _model("fused_infer")
+    data = _data(np.random.RandomState(7))
+    params = model.init(0, data)
+    pre = model.precompute_statics(data)
+    out_fused = model.apply_with_derivatives(params, pre)
+    monkeypatch.setenv("ALLEGRO_NO_FUSED_READOUT", "1")
+    out_xla = model.apply_with_derivatives(params, pre)
+    np.testing.assert_allclose(
+        np.asarray(out_xla[keys.TOTAL_ENERGY]),
+        np.asarray(out_fused[keys.TOTAL_ENERGY]),
+        atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_xla[keys.FORCES]),
+        np.asarray(out_fused[keys.FORCES]),
+        atol=1e-11,
+    )
+
+
+def test_linear_readout_fused_parity(rng):
+    """readout depth 0 → the fused readout kernel's n_hidden=0 (single
+    matmul, no activation) branch; statics-armed must equal the XLA chain."""
+    model = AllegroModel(
+        r_max=R_MAX,
+        type_names=["A", "B", "C"],
+        l_max=1,
+        num_layers=2,
+        num_scalar_features=16,
+        num_tensor_features=4,
+        scalar_embed_mlp_hidden_layers_width=16,
+        allegro_mlp_hidden_layers_width=16,
+        readout_mlp_hidden_layers_depth=0,
+        avg_num_neighbors=6.0,
+        per_type_energy_scales=1.3,
+        per_type_energy_shifts=[0.1, -0.2, 0.3],
+        model_dtype="float64",
+        tp_kernel_backend="fused_infer",
+    )
+    data = _data(np.random.RandomState(5))
+    params = model.init(0, data)
+    pre = model.precompute_statics(data)
+    assert keys.CENTER_RANK_IDENTITY in pre
+    out_plain = model.apply_with_derivatives(params, data)
+    out_pre = model.apply_with_derivatives(params, pre)
+    np.testing.assert_allclose(
+        np.asarray(out_pre[keys.TOTAL_ENERGY]),
+        np.asarray(out_plain[keys.TOTAL_ENERGY]),
+        atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_pre[keys.FORCES]),
+        np.asarray(out_plain[keys.FORCES]),
+        atol=1e-11,
+    )
