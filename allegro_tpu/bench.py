@@ -103,7 +103,7 @@ def run_benchmark_stage(config, workdir):
     return result
 
 
-def run_benchmark(n_atoms=4096, r_max=4.0, iters=20, warmup=3, verbose=False, backend=None):
+def run_benchmark(n_atoms=4096, r_max=4.0, iters=None, warmup=3, verbose=False, backend=None):
     import jax
 
     from allegro_tpu.data import batch_frames, keys, to_jax
@@ -171,7 +171,20 @@ def run_benchmark(n_atoms=4096, r_max=4.0, iters=20, warmup=3, verbose=False, ba
         print(f"compile+first step: {time.time() - t0:.1f}s", file=sys.stderr)
     for _ in range(warmup):
         d = force_step(params, batch, d)
+    t0 = time.time()
     _ = float(d.sum())
+    sync_ms = (time.time() - t0) * 1e3  # end-of-chain host sync round trip
+    if iters is None:
+        # the tunnel's host sync costs ~tens of ms per round trip; pick the
+        # chain length so that ONE end-of-chain sync is <~1% of the timed
+        # window (at 4k atoms / ~14 ms steps this is ~150 iters; big systems
+        # keep the short chain). Estimate step time from a 5-step chain.
+        t0 = time.time()
+        for _ in range(5):
+            d = force_step(params, batch, d)
+        _ = float(d.sum())
+        est_ms = max((time.time() - t0) * 1e3 / 5, 1e-3)
+        iters = int(min(300, max(20, 100 * sync_ms / est_ms)))
     t0 = time.time()
     for _ in range(iters):
         d = force_step(params, batch, d)
@@ -205,7 +218,7 @@ def run_benchmark(n_atoms=4096, r_max=4.0, iters=20, warmup=3, verbose=False, ba
     # HBM-bound kernels (copy reads+writes 2 bytes per byte of array)
     copy_gbps = None
     try:
-        big = jnp.zeros((64 * 1024 * 1024 // 4,), jnp.float32)  # 256 MB
+        big = jnp.zeros((512 * 1024 * 1024 // 4,), jnp.float32)  # 512 MB
 
         @jax.jit
         def bump(x):
@@ -213,12 +226,15 @@ def run_benchmark(n_atoms=4096, r_max=4.0, iters=20, warmup=3, verbose=False, ba
 
         big = bump(big)
         _ = float(big[0])
+        # long chain with ONE end sync: a per-iteration host sync costs tens
+        # of ms through the tunnel and would swamp the ~1 ms device copy
         t0 = time.time()
-        n_copy = 10
+        n_copy = 40
         for _ in range(n_copy):
             big = bump(big)
         _ = float(big[0])
         copy_gbps = 2 * big.nbytes * n_copy / (time.time() - t0) / 1e9
+        del big
     except Exception:
         pass
 
@@ -240,6 +256,10 @@ def run_benchmark(n_atoms=4096, r_max=4.0, iters=20, warmup=3, verbose=False, ba
             "step_ms": round(dt * 1e3, 3),
             "fwd_ms": round(fwd_ms, 3) if fwd_ms is not None else None,
             "copy_GBps": round(copy_gbps, 1) if copy_gbps is not None else None,
+            "timing_iters": int(iters),
+            "onehot_passes": __import__(
+                "allegro_tpu.ops.fused_tp", fromlist=["ONEHOT_PASSES"]
+            ).ONEHOT_PASSES,
             "device": str(jax.devices()[0]),
         },
     }

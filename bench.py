@@ -21,6 +21,15 @@ try:
 except Exception:
     pass
 
+# Headline precision policy: the driver bench runs the one-hot MXU products
+# with the 2-pass bf16 split (~7.6e-6 relative force error — 6x tighter than
+# the reference's own f32 compiled-model tolerance of 5e-5,
+# /root/reference/tests/model/test_allegro.py:72-74) instead of the exact
+# 3-pass split. The library default stays exact; this is recorded in the
+# JSON "extra" block and the force-MAE parity below is measured under the
+# SAME setting. Override with ALLEGRO_ONEHOT_PASSES=3.
+os.environ.setdefault("ALLEGRO_ONEHOT_PASSES", "2")
+
 from allegro_tpu.bench import (
     run_benchmark,
     run_lmax3_bench,

@@ -17,7 +17,7 @@ run "mega 4k (default)"
 run "mega 4k precision=high" BENCH_PRECISION=high
 run "mega 4k eb=64" ALLEGRO_FUSED_EB=64
 run "mega 4k eb=256" ALLEGRO_FUSED_EB=256
-run "mega 4k onehot=2" ALLEGRO_ONEHOT_PASSES=2
+run "mega 4k onehot=3 (exact-f32 ablation; bench default is 2)" ALLEGRO_ONEHOT_PASSES=3
 run "no-mega 4k (ablation)" ALLEGRO_NO_MEGA=1
 run "no-fused-readout 4k (ablation)" ALLEGRO_NO_FUSED_READOUT=1
 run "mega 100k" BENCH_N_ATOMS=100000
