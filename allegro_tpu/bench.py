@@ -265,7 +265,7 @@ def run_benchmark(n_atoms=4096, r_max=4.0, iters=None, warmup=3, verbose=False, 
     }
 
 
-def run_train_bench(batch_size=16, steps=20, verbose=False):
+def run_train_bench(batch_size=16, steps=100, verbose=False):
     """Train samples/sec: jitted Adam step with energy+force loss (the
     second-order-AD path the reference trains with) on 21-atom frames."""
     import jax
@@ -318,7 +318,7 @@ def run_train_bench(batch_size=16, steps=20, verbose=False):
     return batch_size / dt
 
 
-def run_lmax3_bench(n_atoms=4096, r_max=4.0, iters=10, warmup=2, verbose=False):
+def run_lmax3_bench(n_atoms=4096, r_max=4.0, iters=40, warmup=2, verbose=False):
     """µs/atom for the l_max=3 full-parity deep stack — BASELINE.json config 3
     ("l_max=3 deep stack with full parity channels"), the O(l_max^6) stress
     case (`/root/reference/docs/guide/allegro_model.rst:13`)."""
@@ -371,7 +371,7 @@ def run_lmax3_bench(n_atoms=4096, r_max=4.0, iters=10, warmup=2, verbose=False):
     return (time.time() - t0) / iters / n_atoms * 1e6
 
 
-def run_train_stress_bench(batch_size=4, n_atoms=64, steps=10, verbose=False):
+def run_train_stress_bench(batch_size=4, n_atoms=64, steps=50, verbose=False):
     """Train samples/sec on a multi-species PERIODIC batch with a stress term
     in the loss — BASELINE.json config 2 ("multi-species periodic training
     with stress"). Second-order AD through forces AND the strain derivative."""
