@@ -171,6 +171,9 @@ def run_benchmark(n_atoms=4096, r_max=4.0, iters=None, warmup=3, verbose=False, 
         print(f"compile+first step: {time.time() - t0:.1f}s", file=sys.stderr)
     for _ in range(warmup):
         d = force_step(params, batch, d)
+    # drain the warmup chain BEFORE timing the host sync, so sync_ms measures
+    # one round trip and not ~warmup pending steps (ADVICE r3)
+    jax.block_until_ready(d)
     t0 = time.time()
     _ = float(d.sum())
     sync_ms = (time.time() - t0) * 1e3  # end-of-chain host sync round trip
@@ -215,8 +218,12 @@ def run_benchmark(n_atoms=4096, r_max=4.0, iters=None, warmup=3, verbose=False, 
         pass
 
     # measured on-device copy bandwidth: the roofline denominator for the
-    # HBM-bound kernels (copy reads+writes 2 bytes per byte of array)
+    # HBM-bound kernels (copy reads+writes 2 bytes per byte of array).
+    # Median of 5 chains with one end-of-chain sync each — the round-3 one-
+    # shot measurement spread 27–418 GB/s across runs, making any roofline
+    # claim meaningless (VERDICT r3 weak #1).
     copy_gbps = None
+    copy_gbps_spread = None
     try:
         big = jnp.zeros((512 * 1024 * 1024 // 4,), jnp.float32)  # 512 MB
 
@@ -225,44 +232,132 @@ def run_benchmark(n_atoms=4096, r_max=4.0, iters=None, warmup=3, verbose=False, 
             return x + 1.0
 
         big = bump(big)
-        _ = float(big[0])
-        # long chain with ONE end sync: a per-iteration host sync costs tens
-        # of ms through the tunnel and would swamp the ~1 ms device copy
-        t0 = time.time()
+        jax.block_until_ready(big)
+        samples = []
         n_copy = 40
-        for _ in range(n_copy):
-            big = bump(big)
-        _ = float(big[0])
-        copy_gbps = 2 * big.nbytes * n_copy / (time.time() - t0) / 1e9
+        for _ in range(5):
+            t0 = time.time()
+            for _ in range(n_copy):
+                big = bump(big)
+            jax.block_until_ready(big)
+            samples.append(2 * big.nbytes * n_copy / (time.time() - t0) / 1e9)
+        samples.sort()
+        copy_gbps = samples[len(samples) // 2]
+        copy_gbps_spread = (samples[0], samples[-1])
         del big
     except Exception:
         pass
 
+    # modeled HBM traffic of one force call: XLA's own HLO cost analysis
+    # ("bytes accessed" sums operand+result bytes per op — for the Pallas
+    # custom-calls that is exactly the kernel I/O model, no cache-reuse
+    # credit). roofline_frac ≈ 1 would mean every byte moves at the measured
+    # copy bandwidth; < 1 means compute/latency-bound phases or idle gaps.
+    modeled_gb = None
+    roofline_frac = None
+    try:
+        ca = (
+            force_step
+            .lower(params, batch, jnp.zeros_like(batch[keys.POSITIONS]))
+            .compile()
+            .cost_analysis()
+        )
+        if ca:
+            ba = ca.get("bytes accessed")
+            if ba:
+                modeled_gb = float(ba) / 1e9
+                if copy_gbps:
+                    roofline_frac = modeled_gb / (dt * copy_gbps)
+    except Exception:
+        pass
+
+    # on-chip per-op attribution of the step (VERDICT r3 #1): where the time
+    # goes — pallas kernels vs XLA matmuls vs relayout copies — plus the
+    # top-10 named ops. Skipped when profiling is unavailable.
+    breakdown = None
+    if os.environ.get("BENCH_TRACE", "1") == "1":
+        try:
+            from .utils.traceops import capture_step_breakdown
+
+            def _run(n, _d=[d]):
+                for _ in range(n):
+                    _d[0] = force_step(params, batch, _d[0])
+                jax.block_until_ready(_d[0])
+
+            breakdown = capture_step_breakdown(_run, iters=10)
+        except Exception as e:
+            breakdown = {"error": str(e)[:200]}
+
     target = 1.0  # us/atom/step north-star (BASELINE.md)
+    from .ops import fused_tp as _ft
+
+    # record which fused paths ACTUALLY ran (VERDICT r3 #4: the bench's
+    # fallback retries flip env kill-switches — a silent fallback must flip a
+    # flag here instead of changing what the headline means invisibly)
+    mega_on = (
+        backend == "fused_infer"
+        and os.environ.get("ALLEGRO_NO_MEGA") != "1"
+        and os.environ.get("ALLEGRO_TP_BYPASS") != "1"
+    )
+    readout_on = (
+        backend == "fused_infer"
+        and os.environ.get("ALLEGRO_NO_FUSED_READOUT") != "1"
+        and keys.CENTER_RANK_IDENTITY in batch
+    )
+    # the tensor embed always emits the factor form (EDGE_FEATURE_WEIGHTS)
+    # the embed-fused layer-0 kernel consumes; it is live whenever mega is
+    embed_l0_on = mega_on
+    extra = {
+        "n_atoms": int(n_atoms),
+        "n_edges": int(n_edges),
+        "l_max": 2,
+        "num_layers": 2,
+        "num_tensor_features": 32,
+        "backend": backend,
+        "remat": bool(remat_flag),
+        "tensor_dtype": tensor_dtype or "float32",
+        "step_ms": round(dt * 1e3, 3),
+        "fwd_ms": round(fwd_ms, 3) if fwd_ms is not None else None,
+        "copy_GBps": round(copy_gbps, 1) if copy_gbps is not None else None,
+        "copy_GBps_minmax": [round(x, 1) for x in copy_gbps_spread]
+        if copy_gbps_spread
+        else None,
+        "hbm_model_GB": round(modeled_gb, 3) if modeled_gb is not None else None,
+        "roofline_frac": round(roofline_frac, 3)
+        if roofline_frac is not None
+        else None,
+        "timing_iters": int(iters),
+        "onehot_passes": _ft.ONEHOT_PASSES,
+        "mega": bool(mega_on),
+        "fused_readout": bool(readout_on),
+        "embed_fused_l0": bool(embed_l0_on),
+        "fused_block_edges": _fused_eb(model),
+        "features_layout": (model.builder_kwargs or {}).get("features_layout")
+        or "strided",
+        "device": str(jax.devices()[0]),
+    }
+    if breakdown is not None:
+        extra["trace"] = breakdown
     return {
         "metric": "md_force_call_us_per_atom",
         "value": round(us_per_atom, 4),
         "unit": "us/atom/step",
         "vs_baseline": round(target / us_per_atom, 4),
-        "extra": {
-            "n_atoms": int(n_atoms),
-            "n_edges": int(n_edges),
-            "l_max": 2,
-            "num_layers": 2,
-            "num_tensor_features": 32,
-            "backend": backend,
-            "remat": bool(remat_flag),
-            "tensor_dtype": tensor_dtype or "float32",
-            "step_ms": round(dt * 1e3, 3),
-            "fwd_ms": round(fwd_ms, 3) if fwd_ms is not None else None,
-            "copy_GBps": round(copy_gbps, 1) if copy_gbps is not None else None,
-            "timing_iters": int(iters),
-            "onehot_passes": __import__(
-                "allegro_tpu.ops.fused_tp", fromlist=["ONEHOT_PASSES"]
-            ).ONEHOT_PASSES,
-            "device": str(jax.devices()[0]),
-        },
+        "extra": extra,
     }
+
+
+def _fused_eb(model):
+    """The edge-block size the fused backends will use for this model."""
+    try:
+        from .nn import allegro as _alleg
+
+        return int(
+            (model.builder_kwargs or {}).get("fused_block_edges")
+            or _alleg.FUSED_BLOCK_EDGES
+        )
+    except Exception:
+        return None
 
 
 def run_train_bench(batch_size=16, steps=100, verbose=False):
@@ -444,9 +539,30 @@ def _load_leaves_into(tree, path):
     return jax.tree_util.tree_unflatten(treedef, new)
 
 
-def run_parity(n_atoms=512, verbose=False):
+def run_parity(n_atoms=512, verbose=False, onehot_passes=None):
     """Force MAE of the on-chip f32 fused path vs the f64 einsum oracle
-    (computed on CPU x64 in a clean subprocess; same params, same edges)."""
+    (computed on CPU x64 in a clean subprocess; same params, same edges).
+
+    ``onehot_passes``: explicitly pin the one-hot split policy for THIS
+    measurement (2 = the bench headline policy, 3 = exact). The driver bench
+    reports both, so a precision regression in the exact path stays visible
+    even while the headline runs reduced-pass (VERDICT r3 weak #2).
+    """
+    import jax
+
+    from allegro_tpu.data import batch_frames, keys, to_jax
+    from allegro_tpu.ops import fused_tp as _ft
+
+    old_passes = _ft.ONEHOT_PASSES
+    if onehot_passes is not None:
+        _ft.set_onehot_passes(onehot_passes)
+    try:
+        return _run_parity_inner(n_atoms, verbose)
+    finally:
+        _ft.ONEHOT_PASSES = old_passes
+
+
+def _run_parity_inner(n_atoms, verbose):
     import jax
 
     from allegro_tpu.data import batch_frames, keys, to_jax

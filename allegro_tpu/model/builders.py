@@ -216,7 +216,11 @@ class Model:
             from ..nn.allegro import FUSED_BLOCK_EDGES
             from ..ops.fused_tp import make_block_plan_np
 
-            win, offs, Ep = make_block_plan_np(centers, FUSED_BLOCK_EDGES, n_atoms)
+            eb = (
+                (self.builder_kwargs or {}).get("fused_block_edges")
+                or FUSED_BLOCK_EDGES
+            )
+            win, offs, Ep = make_block_plan_np(centers, eb, n_atoms)
             out[keys.FUSED_OFFS] = jnp.asarray(offs)
             out[keys.FUSED_WIN] = jnp.asarray(win)
             real = centers[centers < n_atoms]
@@ -232,9 +236,7 @@ class Model:
                 [neighbors, np.full(Ep - len(neighbors), n_atoms, neighbors.dtype)]
             ).astype(np.int64)
             order = np.argsort(nbr_p, kind="stable").astype(np.int32)
-            win2, offs2, _ = make_block_plan_np(
-                nbr_p[order], FUSED_BLOCK_EDGES, n_atoms
-            )
+            win2, offs2, _ = make_block_plan_np(nbr_p[order], eb, n_atoms)
             out[keys.FUSED_OFFS_NBR] = jnp.asarray(offs2)
             out[keys.FUSED_WIN_NBR] = jnp.asarray(win2)
             out[keys.NBR_PERM] = jnp.asarray(order)
@@ -366,6 +368,11 @@ def FullAllegroEnergyModel(
     # "flat_dim_major" ([E, dim*mul] — avoids the transposed 2.6 GB
     # features-cotangent relayout copy at >2M edges; the 100k-atom setting)
     features_layout: Optional[str] = None,
+    # edge-block size (rank-window width) of the fused kernels; None = the
+    # process-wide default (nn.allegro.FUSED_BLOCK_EDGES, env-overridable).
+    # A model-level field so exported artifacts and modifier rebuilds replay
+    # with the block size they were built with (VERDICT r3 #9).
+    fused_block_edges: Optional[int] = None,
     # reference default allow_tf32=false (configs/tutorial.yaml:166-167):
     # full-f32 matmuls everywhere in the model. True = fast MXU semantics.
     allow_tf32: bool = False,
@@ -455,6 +462,7 @@ def FullAllegroEnergyModel(
                 remat=remat,
                 precision=prec,
                 tensor_dtype=tensor_dtype,
+                fused_block_edges=fused_block_edges,
             ),
         ),
         # readout stage(s): fused_infer gets the single fused stage (readout

@@ -100,7 +100,9 @@ PACKED_ENV_VARIANT = "edge_major"
 
 # edge-block size of the fused kernel backend (rank-space window width);
 # trade-off: the one-hot window matmuls cost O(eb)/edge (MXU), per-block
-# fixed overheads cost O(1/eb). Overridable for per-hardware tuning.
+# fixed overheads cost O(1/eb). This is the PROCESS-WIDE DEFAULT only —
+# per-model values come from the builder kwarg ``fused_block_edges``
+# (serialized into artifacts/rebuilds; VERDICT r3 #9), which wins over this.
 FUSED_BLOCK_EDGES = int(os.environ.get("ALLEGRO_FUSED_EB", "128"))
 
 
@@ -130,6 +132,10 @@ class AllegroLayers(nn.Module):
     # O(1)-layer activation memory — required for >~50k-atom force calls on a
     # 16GB chip (jax.checkpoint per layer)
     remat: bool = False
+    # edge-block size of the fused kernels (rank-window width); None = the
+    # process default FUSED_BLOCK_EDGES. A model-level setting so exported
+    # artifacts replay with the block size they were built with.
+    fused_block_edges: int | None = None
 
     def setup(self):
         irreps_sh = Irreps(self.irreps_sh)
@@ -211,7 +217,7 @@ class AllegroLayers(nn.Module):
             # canonical order (data/neighborlist.py, data/atomic_data.py).
             from ..ops.fused_tp import make_block_plan, num_rank_rows
 
-            eb = FUSED_BLOCK_EDGES
+            eb = self.fused_block_edges or FUSED_BLOCK_EDGES
             Ep = -(-E // eb) * eb
             if Ep != E:
                 pad_spec = ((0, Ep - E),) + ((0, 0),) * (features.ndim - 1)
@@ -359,7 +365,7 @@ class AllegroLayers(nn.Module):
         from ..ops.fused_primitives import mega_latent_env
 
         offs, win = plan
-        eb = FUSED_BLOCK_EDGES
+        eb = self.fused_block_edges or FUSED_BLOCK_EDGES
         wexp_dtype = (
             jnp.dtype(self.tensor_dtype) if self.tensor_dtype is not None else None
         )
@@ -466,7 +472,8 @@ class AllegroLayers(nn.Module):
             # MakeWeightedChannels convention) — exactly the U-wide per-irrep
             # lane blocks the kernels slice; no transpose on the hot path
             feats = self.tps[layer].fused_call(
-                features, sh_p, wexp, offs, win, n_rank, FUSED_BLOCK_EDGES
+                features, sh_p, wexp, offs, win, n_rank,
+                self.fused_block_edges or FUSED_BLOCK_EDGES,
             )
             tp_scalars = feats[:, :U][:E].astype(self.param_dtype)
         elif packed:

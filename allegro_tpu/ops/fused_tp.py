@@ -74,6 +74,16 @@ import os as _os
 ONEHOT_PASSES = int(_os.environ.get("ALLEGRO_ONEHOT_PASSES", "3"))
 assert ONEHOT_PASSES in (2, 3), ONEHOT_PASSES
 
+
+def set_onehot_passes(n: int) -> None:
+    """Explicit setter for the one-hot split policy (ADVICE r3: the env var
+    is only read at import time; callers that need a specific policy — e.g.
+    the driver bench's 2-pass headline — must set it explicitly rather than
+    relying on import order). Takes effect at the next trace."""
+    global ONEHOT_PASSES
+    assert n in (2, 3), n
+    ONEHOT_PASSES = n
+
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 
@@ -197,9 +207,6 @@ def _onehot_dot(g_bool, data, dtype):
     bf16 storage): a single pass at HIGHEST.
     """
     data = data.astype(dtype)
-    # interpret mode (CPU tests): a single HIGHEST pass — the bf16 split is
-    # pointlessly slow under emulation and interpret's bf16 dot semantics
-    # differ from the MXU's exact f32 accumulation
     if dtype == jnp.float32 and not INTERPRET:
         g = g_bool.astype(jnp.bfloat16)
         parts = _split3_bf16(data)[:ONEHOT_PASSES]
@@ -207,6 +214,24 @@ def _onehot_dot(g_bool, data, dtype):
         for part in parts:
             t = jax.lax.dot_general(
                 g, part, _DN_ROWS, preferred_element_type=jnp.float32
+            )
+            out = t if out is None else out + t
+        return out
+    if dtype == jnp.float32 and INTERPRET and ONEHOT_PASSES != 3:
+        # interpret-mode (CPU tests) emulation of the REDUCED-pass policy:
+        # drop the same split terms the MXU path drops, but run the dots at
+        # HIGHEST on f32-cast parts (what matters for accuracy is the
+        # deterministic bf16 rounding of the data split, not the MXU's
+        # accumulation) — so tests/model/test_onehot_passes.py actually
+        # exercises the 2-pass rounding (ADVICE r3 high). The 3-pass split is
+        # bitwise-exact f32 reconstruction, so the plain HIGHEST pass below
+        # covers it without tripling interpret-mode test cost.
+        out = None
+        for part in _split3_bf16(data)[:ONEHOT_PASSES]:
+            t = jax.lax.dot_general(
+                g_bool.astype(jnp.float32), part.astype(jnp.float32),
+                _DN_ROWS, precision=_HIGHEST,
+                preferred_element_type=jnp.float32,
             )
             out = t if out is None else out + t
         return out
@@ -227,6 +252,17 @@ def _onehot_dot_right(data, g_bool, dtype):
         for part in _split3_bf16(data)[:ONEHOT_PASSES]:
             t = jax.lax.dot_general(
                 part, g, _DN_ROWS, preferred_element_type=jnp.float32
+            )
+            out = t if out is None else out + t
+        return out
+    if dtype == jnp.float32 and INTERPRET and ONEHOT_PASSES != 3:
+        # reduced-pass emulation under interpret — see _onehot_dot
+        out = None
+        for part in _split3_bf16(data)[:ONEHOT_PASSES]:
+            t = jax.lax.dot_general(
+                part.astype(jnp.float32), g_bool.astype(jnp.float32),
+                _DN_ROWS, precision=_HIGHEST,
+                preferred_element_type=jnp.float32,
             )
             out = t if out is None else out + t
         return out

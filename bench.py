@@ -26,9 +26,9 @@ except Exception:
 # the reference's own f32 compiled-model tolerance of 5e-5,
 # /root/reference/tests/model/test_allegro.py:72-74) instead of the exact
 # 3-pass split. The library default stays exact; this is recorded in the
-# JSON "extra" block and the force-MAE parity below is measured under the
-# SAME setting. Override with ALLEGRO_ONEHOT_PASSES=3.
-os.environ.setdefault("ALLEGRO_ONEHOT_PASSES", "2")
+# JSON "extra" block and the force-MAE parity below is measured under BOTH
+# settings. Override with ALLEGRO_ONEHOT_PASSES=3.
+HEADLINE_ONEHOT_PASSES = int(os.environ.get("ALLEGRO_ONEHOT_PASSES", "2"))
 
 from allegro_tpu.bench import (
     run_benchmark,
@@ -37,7 +37,11 @@ from allegro_tpu.bench import (
     run_train_bench,
     run_train_stress_bench,
 )
+from allegro_tpu.ops import fused_tp as _fused_tp
 from allegro_tpu.utils.chiplock import chip_lock
+
+# explicit setter, not env-var import-order coupling (ADVICE r3)
+_fused_tp.set_onehot_passes(HEADLINE_ONEHOT_PASSES)
 
 def _benchmark_with_fallback(n_atoms, verbose):
     """Headline bench; if the mega-kernel path fails on this chip/toolchain
@@ -103,9 +107,24 @@ if __name__ == "__main__":
             except Exception as e:
                 result["extra"]["train_stress_samples_per_sec_error"] = str(e)[:300]
             try:
-                mae, rel = run_parity(verbose=verbose)
+                # parity under the HEADLINE policy (what the µs/atom numbers
+                # above actually ran with)...
+                mae, rel = run_parity(
+                    verbose=verbose, onehot_passes=HEADLINE_ONEHOT_PASSES
+                )
                 result["extra"]["force_mae_vs_f64"] = float(f"{mae:.3e}")
                 result["extra"]["force_mae_vs_f64_rel"] = float(f"{rel:.3e}")
             except Exception as e:
                 result["extra"]["force_mae_error"] = str(e)[:300]
+            if HEADLINE_ONEHOT_PASSES != 3:
+                try:
+                    # ...AND under the exact 3-pass split, so regressions in
+                    # the exact path stay visible (VERDICT r3 weak #2)
+                    mae3, rel3 = run_parity(verbose=verbose, onehot_passes=3)
+                    result["extra"]["force_mae_vs_f64_exact"] = float(f"{mae3:.3e}")
+                    result["extra"]["force_mae_vs_f64_exact_rel"] = float(
+                        f"{rel3:.3e}"
+                    )
+                except Exception as e:
+                    result["extra"]["force_mae_exact_error"] = str(e)[:300]
     print(json.dumps(result))

@@ -62,3 +62,17 @@ def test_two_pass_onehot_force_accuracy_vs_f64_oracle(backend, _two_pass):
     e_ref = float(np.asarray(out_ref[keys.TOTAL_ENERGY]).sum())
     e = float(np.asarray(out_fast[keys.TOTAL_ENERGY]).sum())
     assert abs(e - e_ref) / max(abs(e_ref), 1e-3) < TWO_PASS_REL_FORCE_TOL
+
+    # non-vacuity guard (ADVICE r3 high): the 2-pass path must actually
+    # DIVERGE from the exact 3-pass path — if a future change routes interpret
+    # mode back to the exact single-pass branch regardless of ONEHOT_PASSES,
+    # the accuracy pin above would silently stop testing the reduced policy.
+    fused_tp.ONEHOT_PASSES = 3
+    out_exact = fast(params32, data32)
+    f_exact = np.asarray(out_exact[keys.FORCES], dtype=np.float64)
+    fused_tp.ONEHOT_PASSES = 2
+    div = float(np.abs(f - f_exact).max()) / scale
+    assert div > 1e-9, (
+        f"2-pass forces identical to 3-pass (max rel dev {div:.2e}) — the "
+        "reduced-pass policy is not being exercised under interpret mode"
+    )
