@@ -71,8 +71,8 @@ def _flagship_model(avg_num_neighbors, backend, r_max=4.0, remat=False,
 
     if tensor_dtype is None:
         tensor_dtype = os.environ.get("BENCH_TENSOR_DTYPE") or None
-        if tensor_dtype in ("none", "float32"):
-            tensor_dtype = None
+    if tensor_dtype in ("none", "float32"):
+        tensor_dtype = None
     extra = {}
     if os.environ.get("BENCH_PRECISION"):  # e.g. "high": 3-pass bf16 matmuls
         extra["precision"] = os.environ["BENCH_PRECISION"]
@@ -520,6 +520,63 @@ def run_train_stress_bench(batch_size=4, n_atoms=64, steps=50, verbose=False):
         params, opt_state, loss = step(params, opt_state, k)
     _ = float(loss)
     return batch_size / ((time.time() - t0) / steps)
+
+
+def run_kernel_smoke(n_atoms=512, verbose=False):
+    """On-silicon kernel smoke tier (VERDICT r3 #6): Mosaic-compile and run
+    every fused kernel family member the flagship step uses — mega latent+env,
+    embed-fused layer 0, gather_tp (split-scalars), fused readout, the
+    one-pass fused backward, the center/perm force-path kernels — at the
+    flagship block shapes (eb, column counts; Mosaic legality depends on the
+    block, not the edge count), and assert force parity against the einsum
+    backend ON THE SAME CHIP. Also runs one grad step through the trainable
+    `fused` primitive backend. Returns "ok" or raises — run as a bench
+    preamble so a Mosaic regression fails LOUDLY instead of silently
+    downgrading the headline via the env-var fallbacks.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from allegro_tpu.data import batch_frames, keys, to_jax
+
+    frame, n_atoms = _crystal_frame(n_atoms, 4.0, seed=3)
+    n_edges = frame[keys.EDGE_INDEX].shape[1]
+    batch = to_jax(batch_frames([frame], n_frames=1), dtype=np.float32)
+    fused = _flagship_model(n_edges / n_atoms, "fused_infer", tensor_dtype="none")
+    oracle = _flagship_model(n_edges / n_atoms, "einsum", tensor_dtype="none")
+    b_f = fused.precompute_statics(batch)
+    params = fused.init(0, b_f)
+    out_f = jax.jit(lambda p, b: fused.apply_with_derivatives(p, b))(params, b_f)
+    out_o = jax.jit(lambda p, b: oracle.apply_with_derivatives(p, b))(params, batch)
+    f_f = np.asarray(out_f[keys.FORCES], np.float64)[:n_atoms]
+    f_o = np.asarray(out_o[keys.FORCES], np.float64)[:n_atoms]
+    scale = max(float(np.abs(f_o).max()), 1e-6)
+    rel = float(np.abs(f_f - f_o).max()) / scale
+    # tolerance covers the reduced one-hot policy when active (7.6e-6 rel on
+    # features) with slack; a Mosaic regression shows up as compile failure
+    # or garbage values, both far outside this
+    assert rel < 1e-4, f"fused_infer vs einsum force mismatch: rel {rel:.2e}"
+    e_f = float(np.asarray(out_f[keys.TOTAL_ENERGY]).sum())
+    e_o = float(np.asarray(out_o[keys.TOTAL_ENERGY]).sum())
+    assert abs(e_f - e_o) / max(abs(e_o), 1e-6) < 1e-4, (e_f, e_o)
+
+    # trainable backend: one grad through the primitive kernels
+    train = _flagship_model(n_edges / n_atoms, "fused", tensor_dtype="none")
+    b_t = train.precompute_statics(batch)
+
+    def loss(p):
+        out = train.apply_with_derivatives(p, b_t)
+        return jnp.sum(out[keys.FORCES] ** 2) * 1e-4
+
+    g = jax.jit(jax.grad(loss))(params)
+    bad = [
+        k for k, v in jax.tree_util.tree_leaves_with_path(g)
+        if not bool(np.isfinite(np.asarray(v)).all())
+    ]
+    assert not bad, f"non-finite grads through fused primitives: {bad[:3]}"
+    if verbose:
+        print(f"kernel smoke ok: force rel {rel:.2e}", file=sys.stderr)
+    return "ok"
 
 
 def _save_pytree(path, tree):

@@ -152,6 +152,7 @@ class FusedEdgeReadoutSum(nn.Module):
             per_atom = readout_sum_infer(
                 pieces, w0, w1, offs, win, eb,
                 num_rank_rows(n_atoms, eb), n_atoms, n_hidden,
+                3 if self.precision == "high" else 6,
             )
             out[keys.PER_ATOM_ENERGY] = per_atom.astype(self.param_dtype)
             return out
@@ -373,6 +374,12 @@ def FullAllegroEnergyModel(
     # A model-level field so exported artifacts and modifier rebuilds replay
     # with the block size they were built with (VERDICT r3 #9).
     fused_block_edges: Optional[int] = None,
+    # one-hot split passes of the fused kernels' feature-track MXU
+    # gather/scatter products (3 = exact f32 — the library default; 2 = the
+    # reduced policy, ~7.6e-6 rel on features). None = the process default
+    # (ALLEGRO_ONEHOT_PASSES env) resolved at trace time. Position gathers
+    # and per-atom energy sums are pinned exact regardless of this setting.
+    onehot_passes: Optional[int] = None,
     # reference default allow_tf32=false (configs/tutorial.yaml:166-167):
     # full-f32 matmuls everywhere in the model. True = fast MXU semantics.
     allow_tf32: bool = False,
@@ -463,6 +470,7 @@ def FullAllegroEnergyModel(
                 precision=prec,
                 tensor_dtype=tensor_dtype,
                 fused_block_edges=fused_block_edges,
+                onehot_passes=onehot_passes,
             ),
         ),
         # readout stage(s): fused_infer gets the single fused stage (readout

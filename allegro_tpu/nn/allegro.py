@@ -136,6 +136,12 @@ class AllegroLayers(nn.Module):
     # process default FUSED_BLOCK_EDGES. A model-level setting so exported
     # artifacts replay with the block size they were built with.
     fused_block_edges: int | None = None
+    # one-hot split pass count for the fused kernels' window gather/scatter
+    # MXU products on the FEATURE track (3 = exact f32, 2 = ~7.6e-6 rel at
+    # 2/3 the MXU cost). None = the process default
+    # (ops.fused_tp.ONEHOT_PASSES, env-overridable) resolved at trace time.
+    # Position gathers and energy sums are ALWAYS exact regardless.
+    onehot_passes: int | None = None
 
     def setup(self):
         irreps_sh = Irreps(self.irreps_sh)
@@ -176,6 +182,7 @@ class AllegroLayers(nn.Module):
                     kernel_backend=self.tp_kernel_backend,
                     chunk_edges=self.tp_chunk_edges or None,
                     precision=self.precision,
+                    onehot_passes=self.onehot_passes,
                 )
             )
             last = layer == self.num_layers - 1
@@ -356,6 +363,14 @@ class AllegroLayers(nn.Module):
         out[keys.EDGE_SCALARS] = tuple(scalar_blocks)
         return out
 
+    def _mlp_passes(self) -> int:
+        """In-kernel MLP dot policy: 6 = exact-f32 HIGHEST (reference
+        allow_tf32=false parity), 3 = the "high" bf16 split (~1e-7 rel error
+        at half the MXU streaming cost — the dominant cost of the mega
+        kernels, round-4 trace attribution). Driven by the model-level
+        ``precision`` field, same as the XLA-side dots."""
+        return 3 if self.precision == "high" else 6
+
     def _mega_forward(self, data, features, sh_p, plan, n_rank, E, Ep, U, S):
         """Mega-fused inference stack: per layer, ONE kernel runs the latent
         MLP + env-weight slice + env scatter (``mega_latent_env``) and one
@@ -380,6 +395,7 @@ class AllegroLayers(nn.Module):
         lat_s, eA, eB = mega_latent_env(
             (emb,), sh_p, w_proj, None, offs, win,
             tuple(dim_to_irr), U, eb, n_rank, S, wexp_dtype,
+            self._mlp_passes(), self.onehot_passes,
         )
         scalar_blocks = [lat_s]
         # layer-0 input: prefer the FACTOR form of the tensor embedding
@@ -424,20 +440,32 @@ class AllegroLayers(nn.Module):
         )
 
         wk, entries, dims, dim_to_irr = self.tps[layer].fused_infer_parts(x.dtype)
+        # split the leading-0e scalar block out as a SECOND kernel output:
+        # consumers read [Ep, U] instead of slicing the full [Ep, d3*U], and
+        # the backward folds the two cotangents in VMEM (kills the pad+add
+        # fusion + slice glue XLA otherwise pays, ~0.7 ms/step at 4k atoms)
+        split = dims[2] > 1
+        sdt = jnp.dtype(self.param_dtype)
         if embed0:
             # x is the [Ep, n_irr*U] two-body channel weights; x0 is built
             # in-kernel from (sh, x) per row_specs
             out_dtype = wexp_dtype or jnp.dtype(self.param_dtype)
-            feats = gather_tp_embed_infer(
+            res = gather_tp_embed_infer(
                 sh_p, x, eA, eB, wk, offs, win, tuple(entries), tuple(dims),
-                U, eb, n_rank, row_specs, out_dtype,
+                U, eb, n_rank, row_specs, out_dtype, self.onehot_passes,
+                split, sdt,
             )
         else:
-            feats = gather_tp_infer(
+            res = gather_tp_infer(
                 x, eA, eB, wk, offs, win, tuple(entries), tuple(dims), U, eb,
-                n_rank,
+                n_rank, self.onehot_passes, split, sdt,
             )
-        tp_scalars = feats[:, :U].astype(self.param_dtype)
+        if split:
+            feats, tp_scalars = res
+            tp_scalars = tp_scalars.astype(self.param_dtype)
+        else:
+            feats = res
+            tp_scalars = feats[:, :U].astype(self.param_dtype)
         last = layer == self.num_layers - 1
         if last:
             lat_s = self.latents[layer](list(scalars_tuple) + [tp_scalars])
@@ -449,6 +477,7 @@ class AllegroLayers(nn.Module):
             lat_s, eA_n, eB_n = mega_latent_env(
                 tuple(scalars_tuple) + (tp_scalars,), sh_p, w0, w1, offs, win,
                 tuple(dim_to_irr), U, eb, n_rank, S, wexp_dtype,
+                self._mlp_passes(), self.onehot_passes,
             )
         if self.tensor_dtype is not None:
             feats = feats.astype(jnp.dtype(self.tensor_dtype))

@@ -113,6 +113,9 @@ class Contracter(nn.Module):
     # MXU semantics when the config opts into allow_tf32: true). The Pallas
     # kernel backends are exact regardless.
     precision: Optional[str] = "highest"
+    # one-hot split passes in the fused kernels (3 = exact f32, 2 = reduced);
+    # None = process default at trace time (see nn.allegro.AllegroLayers)
+    onehot_passes: Optional[int] = None
 
     def setup(self):
         irreps_in1 = Irreps(self.irreps_in1)
@@ -307,12 +310,13 @@ class Contracter(nn.Module):
             return fused_layer_infer(
                 x, sh, wexp, wk, offs, win,
                 self._fused_entries, (d1, d2, d3), self.mul, eb,
-                self._dim_to_irr, n_rank_rows,
+                self._dim_to_irr, n_rank_rows, self.onehot_passes,
             )
         return fused_layer(
             x, sh, wexp, wk, offs, win,
             entries=self._fused_entries, dims=(d1, d2, d3), U=self.mul, eb=eb,
             dim_to_irr=self._dim_to_irr, n_rank_rows=n_rank_rows,
+            passes=self.onehot_passes,
         )
 
     def fused_infer_parts(self, dtype):

@@ -38,7 +38,10 @@ def with_edge_vectors(data: Dict, recompute: bool = False) -> Dict:
         offs, win = data[keys.FUSED_OFFS], data[keys.FUSED_WIN]
         eb = offs.shape[1]
         Ep = offs.shape[0] // 8 * eb
-        pos_c = center_gather(pos, offs, win, eb=eb, n_edges=Ep)[:E]
+        # passes=3: POSITION gathers must be exact — a dropped one-hot split
+        # term puts ~2^-17·|cell| of noise on every edge vector, which is
+        # what capped the 2-pass headline parity at ~1.6e-4 rel in round 3
+        pos_c = center_gather(pos, offs, win, eb=eb, n_edges=Ep, passes=3)[:E]
         if keys.NBR_RANK_IDENTITY in data and keys.FUSED_OFFS_NBR in data:
             # neighbor side through the kernels too, via the static
             # neighbor-sort permutation: the VJP becomes perm-take +
@@ -47,7 +50,9 @@ def with_edge_vectors(data: Dict, recompute: bool = False) -> Dict:
             from ..ops.fused_primitives import perm_rows
 
             offs2, win2 = data[keys.FUSED_OFFS_NBR], data[keys.FUSED_WIN_NBR]
-            pos_n_sorted = center_gather(pos, offs2, win2, eb=eb, n_edges=Ep)
+            pos_n_sorted = center_gather(
+                pos, offs2, win2, eb=eb, n_edges=Ep, passes=3
+            )
             pos_n = perm_rows(
                 pos_n_sorted, data[keys.NBR_PERM_INV], data[keys.NBR_PERM]
             )[:E].astype(pos.dtype)

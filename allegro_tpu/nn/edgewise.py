@@ -65,8 +65,9 @@ class EdgewiseReduce:
             eb = offs.shape[1]
             Ep = offs.shape[0] // 8 * eb
             xp = jnp.pad(x, ((0, Ep - x.shape[0]), (0, 0)))
+            # passes=3: per-atom ENERGY sums stay exact under any policy
             out[self.out_field] = center_scatter(
-                xp, offs, win, eb=eb, n_atoms=n_atoms
+                xp, offs, win, eb=eb, n_atoms=n_atoms, passes=3
             ).astype(x.dtype)
             return out
         summed = jax.ops.segment_sum(x, centers, num_segments=n_atoms)

@@ -94,22 +94,26 @@ def _cast_ct(val, primal):
 env_scatter_p = Primitive("allegro_fused_env_scatter")
 
 
-def env_scatter(sh, wexp, offs, win, *, dim_to_irr, U, eb, n_rank_rows):
+def env_scatter(sh, wexp, offs, win, *, dim_to_irr, U, eb, n_rank_rows,
+                passes=None):
     return env_scatter_p.bind(
         sh, wexp, offs, win, dim_to_irr=tuple(dim_to_irr), U=U, eb=eb,
-        n_rank_rows=n_rank_rows,
+        n_rank_rows=n_rank_rows, passes=passes,
     )
 
 
 @env_scatter_p.def_abstract_eval
-def _env_scatter_abs(sh, wexp, offs, win, *, dim_to_irr, U, eb, n_rank_rows):
+def _env_scatter_abs(sh, wexp, offs, win, *, dim_to_irr, U, eb, n_rank_rows,
+                     passes=None):
     dt = fused_tp.compute_dtype(sh.dtype, wexp.dtype)
     return core.ShapedArray((n_rank_rows, len(dim_to_irr) * U), dt)
 
 
-def _env_scatter_impl(sh, wexp, offs, win, *, dim_to_irr, U, eb, n_rank_rows):
+def _env_scatter_impl(sh, wexp, offs, win, *, dim_to_irr, U, eb, n_rank_rows,
+                      passes=None):
     eA, eB = fused_tp.env_scatter_call(
-        sh, wexp, offs, win, dim_to_irr=dim_to_irr, U=U, eb=eb, n_rank_rows=n_rank_rows
+        sh, wexp, offs, win, dim_to_irr=dim_to_irr, U=U, eb=eb,
+        n_rank_rows=n_rank_rows, passes=passes,
     )
     return fused_tp.combine_scatter_outputs(eA, eB, win, eb)
 
@@ -133,11 +137,12 @@ def _env_scatter_jvp(primals, tangents, **kw):
 ad.primitive_jvps[env_scatter_p] = _env_scatter_jvp
 
 
-def _env_scatter_transpose(ct, sh, wexp, offs, win, *, dim_to_irr, U, eb, n_rank_rows):
+def _env_scatter_transpose(ct, sh, wexp, offs, win, *, dim_to_irr, U, eb,
+                           n_rank_rows, passes=None):
     assert not (ad.is_undefined_primal(offs) or ad.is_undefined_primal(win))
     if type(ct) is ad.Zero:
         return (_zero_or_none(sh), _zero_or_none(wexp), None, None)
-    kw = dict(dim_to_irr=dim_to_irr, U=U, eb=eb)
+    kw = dict(dim_to_irr=dim_to_irr, U=U, eb=eb, passes=passes)
     if ad.is_undefined_primal(sh):
         gs = unweight_sh(ct, wexp, offs, win, **kw)
         return (_cast_ct(gs, sh), None, None, None)
@@ -156,20 +161,22 @@ ad.primitive_transposes[env_scatter_p] = _env_scatter_transpose
 gather_tp_p = Primitive("allegro_fused_gather_tp")
 
 
-def gather_tp(x, env, w, offs, win, *, entries, dims, U, eb):
+def gather_tp(x, env, w, offs, win, *, entries, dims, U, eb, passes=None):
     return gather_tp_p.bind(
-        x, env, w, offs, win, entries=tuple(entries), dims=tuple(dims), U=U, eb=eb
+        x, env, w, offs, win, entries=tuple(entries), dims=tuple(dims), U=U,
+        eb=eb, passes=passes,
     )
 
 
 @gather_tp_p.def_abstract_eval
-def _gather_tp_abs(x, env, w, offs, win, *, entries, dims, U, eb):
+def _gather_tp_abs(x, env, w, offs, win, *, entries, dims, U, eb, passes=None):
     return core.ShapedArray((x.shape[0], dims[2] * U), x.dtype)
 
 
-def _gather_tp_impl(x, env, w, offs, win, *, entries, dims, U, eb):
+def _gather_tp_impl(x, env, w, offs, win, *, entries, dims, U, eb, passes=None):
     return fused_tp.gather_tp_call(
-        x, env, env, w, offs, win, entries=entries, dims=dims, U=U, eb=eb
+        x, env, env, w, offs, win, entries=entries, dims=dims, U=U, eb=eb,
+        passes=passes,
     )
 
 
@@ -194,23 +201,25 @@ def _gather_tp_jvp(primals, tangents, **kw):
 ad.primitive_jvps[gather_tp_p] = _gather_tp_jvp
 
 
-def _gather_tp_transpose(ct, x, env, w, offs, win, *, entries, dims, U, eb):
+def _gather_tp_transpose(ct, x, env, w, offs, win, *, entries, dims, U, eb,
+                         passes=None):
     if type(ct) is ad.Zero:
         return (_zero_or_none(x), _zero_or_none(env), _zero_or_none(w), None, None)
     if ad.is_undefined_primal(x):
         gx = gather_tp(
             ct, env, w, offs, win, entries=_swap_entries(entries), dims=_rev(dims),
-            U=U, eb=eb,
+            U=U, eb=eb, passes=passes,
         )
         return (_cast_ct(gx, x), None, None, None, None)
     if ad.is_undefined_primal(env):
         genv = tp_scatter(
             x, ct, w, offs, win, entries=entries, dims=dims, U=U, eb=eb,
-            n_rank_rows=env.aval.shape[0],
+            n_rank_rows=env.aval.shape[0], passes=passes,
         )
         return (None, _cast_ct(genv, env), None, None, None)
     assert ad.is_undefined_primal(w)
-    gw = gather_dw(x, env, ct, offs, win, entries=entries, dims=dims, U=U, eb=eb)
+    gw = gather_dw(x, env, ct, offs, win, entries=entries, dims=dims, U=U,
+                   eb=eb, passes=passes)
     return (None, None, _cast_ct(gw, w), None, None)
 
 
@@ -224,23 +233,26 @@ ad.primitive_transposes[gather_tp_p] = _gather_tp_transpose
 tp_scatter_p = Primitive("allegro_fused_tp_scatter")
 
 
-def tp_scatter(x, g, w, offs, win, *, entries, dims, U, eb, n_rank_rows):
+def tp_scatter(x, g, w, offs, win, *, entries, dims, U, eb, n_rank_rows,
+               passes=None):
     return tp_scatter_p.bind(
-        x, g, w, offs, win, entries=tuple(entries), dims=tuple(dims), U=U, eb=eb,
-        n_rank_rows=n_rank_rows,
+        x, g, w, offs, win, entries=tuple(entries), dims=tuple(dims), U=U,
+        eb=eb, n_rank_rows=n_rank_rows, passes=passes,
     )
 
 
 @tp_scatter_p.def_abstract_eval
-def _tp_scatter_abs(x, g, w, offs, win, *, entries, dims, U, eb, n_rank_rows):
+def _tp_scatter_abs(x, g, w, offs, win, *, entries, dims, U, eb, n_rank_rows,
+                    passes=None):
     dt = fused_tp.compute_dtype(x.dtype, g.dtype)
     return core.ShapedArray((n_rank_rows, dims[1] * U), dt)
 
 
-def _tp_scatter_impl(x, g, w, offs, win, *, entries, dims, U, eb, n_rank_rows):
+def _tp_scatter_impl(x, g, w, offs, win, *, entries, dims, U, eb, n_rank_rows,
+                     passes=None):
     dA, dB = fused_tp.tp_scatter_call(
         x, g, w, offs, win, entries=entries, dims=dims, U=U, eb=eb,
-        n_rank_rows=n_rank_rows,
+        n_rank_rows=n_rank_rows, passes=passes,
     )
     return fused_tp.combine_scatter_outputs(dA, dB, win, eb)
 
@@ -266,10 +278,11 @@ def _tp_scatter_jvp(primals, tangents, **kw):
 ad.primitive_jvps[tp_scatter_p] = _tp_scatter_jvp
 
 
-def _tp_scatter_transpose(ct, x, g, w, offs, win, *, entries, dims, U, eb, n_rank_rows):
+def _tp_scatter_transpose(ct, x, g, w, offs, win, *, entries, dims, U, eb,
+                          n_rank_rows, passes=None):
     if type(ct) is ad.Zero:
         return (_zero_or_none(x), _zero_or_none(g), _zero_or_none(w), None, None)
-    kw = dict(U=U, eb=eb)
+    kw = dict(U=U, eb=eb, passes=passes)
     if ad.is_undefined_primal(x):
         gx = gather_tp(
             g, ct, w, offs, win, entries=_swap_entries(entries), dims=_rev(dims), **kw
@@ -293,21 +306,23 @@ ad.primitive_transposes[tp_scatter_p] = _tp_scatter_transpose
 gather_dw_p = Primitive("allegro_fused_gather_dw")
 
 
-def gather_dw(x, env, g, offs, win, *, entries, dims, U, eb):
+def gather_dw(x, env, g, offs, win, *, entries, dims, U, eb, passes=None):
     return gather_dw_p.bind(
-        x, env, g, offs, win, entries=tuple(entries), dims=tuple(dims), U=U, eb=eb
+        x, env, g, offs, win, entries=tuple(entries), dims=tuple(dims), U=U,
+        eb=eb, passes=passes,
     )
 
 
 @gather_dw_p.def_abstract_eval
-def _gather_dw_abs(x, env, g, offs, win, *, entries, dims, U, eb):
+def _gather_dw_abs(x, env, g, offs, win, *, entries, dims, U, eb, passes=None):
     n_paths = 1 + max(e[3] for e in entries)
     return core.ShapedArray((n_paths, U), fused_tp.compute_dtype(x.dtype, g.dtype))
 
 
-def _gather_dw_impl(x, env, g, offs, win, *, entries, dims, U, eb):
+def _gather_dw_impl(x, env, g, offs, win, *, entries, dims, U, eb, passes=None):
     return fused_tp.gather_dw_call(
-        x, env, env, g, offs, win, entries=entries, dims=dims, U=U, eb=eb
+        x, env, env, g, offs, win, entries=entries, dims=dims, U=U, eb=eb,
+        passes=passes,
     )
 
 
@@ -332,10 +347,11 @@ def _gather_dw_jvp(primals, tangents, **kw):
 ad.primitive_jvps[gather_dw_p] = _gather_dw_jvp
 
 
-def _gather_dw_transpose(ct, x, env, g, offs, win, *, entries, dims, U, eb):
+def _gather_dw_transpose(ct, x, env, g, offs, win, *, entries, dims, U, eb,
+                         passes=None):
     if type(ct) is ad.Zero:
         return (_zero_or_none(x), _zero_or_none(env), _zero_or_none(g), None, None)
-    kw = dict(U=U, eb=eb)
+    kw = dict(U=U, eb=eb, passes=passes)
     if ad.is_undefined_primal(x):
         gx = gather_tp(
             g, env, ct, offs, win, entries=_swap_entries(entries), dims=_rev(dims), **kw
@@ -362,22 +378,23 @@ ad.primitive_transposes[gather_dw_p] = _gather_dw_transpose
 unweight_sh_p = Primitive("allegro_fused_unweight_sh")
 
 
-def unweight_sh(t, wexp, offs, win, *, dim_to_irr, U, eb):
+def unweight_sh(t, wexp, offs, win, *, dim_to_irr, U, eb, passes=None):
     return unweight_sh_p.bind(
-        t, wexp, offs, win, dim_to_irr=tuple(dim_to_irr), U=U, eb=eb
+        t, wexp, offs, win, dim_to_irr=tuple(dim_to_irr), U=U, eb=eb,
+        passes=passes,
     )
 
 
 @unweight_sh_p.def_abstract_eval
-def _unweight_sh_abs(t, wexp, offs, win, *, dim_to_irr, U, eb):
+def _unweight_sh_abs(t, wexp, offs, win, *, dim_to_irr, U, eb, passes=None):
     return core.ShapedArray(
         (wexp.shape[0], len(dim_to_irr)), fused_tp.compute_dtype(t.dtype)
     )
 
 
-def _unweight_sh_impl(t, wexp, offs, win, *, dim_to_irr, U, eb):
+def _unweight_sh_impl(t, wexp, offs, win, *, dim_to_irr, U, eb, passes=None):
     return fused_tp.gather_unweight_sh_call(
-        t, t, wexp, offs, win, dim_to_irr=dim_to_irr, U=U, eb=eb
+        t, t, wexp, offs, win, dim_to_irr=dim_to_irr, U=U, eb=eb, passes=passes
     )
 
 
@@ -400,10 +417,11 @@ def _unweight_sh_jvp(primals, tangents, **kw):
 ad.primitive_jvps[unweight_sh_p] = _unweight_sh_jvp
 
 
-def _unweight_sh_transpose(ct, t, wexp, offs, win, *, dim_to_irr, U, eb):
+def _unweight_sh_transpose(ct, t, wexp, offs, win, *, dim_to_irr, U, eb,
+                           passes=None):
     if type(ct) is ad.Zero:
         return (_zero_or_none(t), _zero_or_none(wexp), None, None)
-    kw = dict(dim_to_irr=dim_to_irr, U=U, eb=eb)
+    kw = dict(dim_to_irr=dim_to_irr, U=U, eb=eb, passes=passes)
     if ad.is_undefined_primal(t):
         gt = env_scatter(ct, wexp, offs, win, n_rank_rows=t.aval.shape[0], **kw)
         return (_cast_ct(gt, t), None, None, None)
@@ -422,24 +440,28 @@ ad.primitive_transposes[unweight_sh_p] = _unweight_sh_transpose
 unweight_w_p = Primitive("allegro_fused_unweight_w")
 
 
-def unweight_w(t, sh, offs, win, *, dim_to_irr, U, eb, out_dtype=None):
+def unweight_w(t, sh, offs, win, *, dim_to_irr, U, eb, out_dtype=None,
+               passes=None):
     return unweight_w_p.bind(
         t, sh, offs, win, dim_to_irr=tuple(dim_to_irr), U=U, eb=eb,
-        out_dtype=None if out_dtype is None else str(out_dtype),
+        out_dtype=None if out_dtype is None else str(out_dtype), passes=passes,
     )
 
 
 @unweight_w_p.def_abstract_eval
-def _unweight_w_abs(t, sh, offs, win, *, dim_to_irr, U, eb, out_dtype=None):
+def _unweight_w_abs(t, sh, offs, win, *, dim_to_irr, U, eb, out_dtype=None,
+                    passes=None):
     n_irr = max(dim_to_irr) + 1
     dt = fused_tp.compute_dtype(t.dtype) if out_dtype is None else jnp.dtype(out_dtype)
     return core.ShapedArray((sh.shape[0], n_irr * U), dt)
 
 
-def _unweight_w_impl(t, sh, offs, win, *, dim_to_irr, U, eb, out_dtype=None):
+def _unweight_w_impl(t, sh, offs, win, *, dim_to_irr, U, eb, out_dtype=None,
+                     passes=None):
     return fused_tp.gather_unweight_w_call(
         t, t, sh, offs, win, dim_to_irr=dim_to_irr, U=U, eb=eb,
         out_dtype=None if out_dtype is None else jnp.dtype(out_dtype),
+        passes=passes,
     )
 
 
@@ -462,10 +484,11 @@ def _unweight_w_jvp(primals, tangents, **kw):
 ad.primitive_jvps[unweight_w_p] = _unweight_w_jvp
 
 
-def _unweight_w_transpose(ct, t, sh, offs, win, *, dim_to_irr, U, eb, out_dtype=None):
+def _unweight_w_transpose(ct, t, sh, offs, win, *, dim_to_irr, U, eb,
+                          out_dtype=None, passes=None):
     if type(ct) is ad.Zero:
         return (_zero_or_none(t), _zero_or_none(sh), None, None)
-    kw = dict(dim_to_irr=dim_to_irr, U=U, eb=eb)
+    kw = dict(dim_to_irr=dim_to_irr, U=U, eb=eb, passes=passes)
     if ad.is_undefined_primal(t):
         gt = env_scatter(sh, ct, offs, win, n_rank_rows=t.aval.shape[0], **kw)
         return (_cast_ct(gt, t), None, None, None)
@@ -491,41 +514,51 @@ center_scatter_p = Primitive("allegro_center_scatter")
 center_gather_p = Primitive("allegro_center_gather")
 
 
-def center_scatter(vals, offs, win, *, eb, n_atoms):
+def center_scatter(vals, offs, win, *, eb, n_atoms, passes=None):
     """vals [Ep, C] per-edge → [n_atoms, C] sums over each edge's center."""
-    return center_scatter_p.bind(vals, offs, win, eb=eb, n_atoms=n_atoms)
+    return center_scatter_p.bind(vals, offs, win, eb=eb, n_atoms=n_atoms,
+                                 passes=passes)
 
 
-def center_gather(atom_vals, offs, win, *, eb, n_edges):
+def center_gather(atom_vals, offs, win, *, eb, n_edges, passes=None):
     """atom_vals [n_atoms, C] → per-edge [n_edges, C] (value of each edge's
-    center atom; padded sentinel edges read garbage rank rows — mask/ignore)."""
-    return center_gather_p.bind(atom_vals, offs, win, eb=eb, n_edges=n_edges)
+    center atom; padded sentinel edges read garbage rank rows — mask/ignore).
+
+    ``passes=3`` pins the one-hot split exact — REQUIRED for position
+    gathers: positions are O(cell)-magnitude, so a dropped split term puts
+    ~2^-17·|cell| of noise on every edge vector (≫ the 5e-5 force
+    tolerance); feature-magnitude consumers may follow the global policy."""
+    return center_gather_p.bind(atom_vals, offs, win, eb=eb, n_edges=n_edges,
+                                passes=passes)
 
 
 @center_scatter_p.def_abstract_eval
-def _center_scatter_abs(vals, offs, win, *, eb, n_atoms):
+def _center_scatter_abs(vals, offs, win, *, eb, n_atoms, passes=None):
     return core.ShapedArray((n_atoms, vals.shape[1]), fused_tp.compute_dtype(vals.dtype))
 
 
 @center_gather_p.def_abstract_eval
-def _center_gather_abs(atom_vals, offs, win, *, eb, n_edges):
+def _center_gather_abs(atom_vals, offs, win, *, eb, n_edges, passes=None):
     return core.ShapedArray(
         (n_edges, atom_vals.shape[1]), fused_tp.compute_dtype(atom_vals.dtype)
     )
 
 
-def _center_scatter_impl(vals, offs, win, *, eb, n_atoms):
+def _center_scatter_impl(vals, offs, win, *, eb, n_atoms, passes=None):
     sA, sB = fused_tp.center_sum_call(
-        vals.T, offs, win, eb=eb, n_rank_rows=fused_tp.num_rank_rows(n_atoms, eb)
+        vals.T, offs, win, eb=eb,
+        n_rank_rows=fused_tp.num_rank_rows(n_atoms, eb), passes=passes,
     )
     comb = fused_tp.combine_scatter_cols(sA, sB, win, eb)
     return comb[:, :n_atoms].T
 
 
-def _center_gather_impl(atom_vals, offs, win, *, eb, n_edges):
+def _center_gather_impl(atom_vals, offs, win, *, eb, n_edges, passes=None):
     n_rank = fused_tp.num_rank_rows(atom_vals.shape[0], eb)
     aT = jnp.pad(atom_vals.T, ((0, 0), (0, n_rank - atom_vals.shape[0])))
-    return fused_tp.center_broadcast_call(aT, offs, win, eb=eb, Ep=n_edges).T
+    return fused_tp.center_broadcast_call(
+        aT, offs, win, eb=eb, Ep=n_edges, passes=passes
+    ).T
 
 
 for p, impl in (
@@ -556,19 +589,22 @@ ad.primitive_jvps[center_scatter_p] = _center_scatter_jvp
 ad.primitive_jvps[center_gather_p] = _center_gather_jvp
 
 
-def _center_scatter_transpose(ct, vals, offs, win, *, eb, n_atoms):
+def _center_scatter_transpose(ct, vals, offs, win, *, eb, n_atoms, passes=None):
     if type(ct) is ad.Zero:
         return (_zero_or_none(vals), None, None)
     assert ad.is_undefined_primal(vals)
-    gv = center_gather(ct, offs, win, eb=eb, n_edges=vals.aval.shape[0])
+    gv = center_gather(ct, offs, win, eb=eb, n_edges=vals.aval.shape[0],
+                       passes=passes)
     return (_cast_ct(gv, vals), None, None)
 
 
-def _center_gather_transpose(ct, atom_vals, offs, win, *, eb, n_edges):
+def _center_gather_transpose(ct, atom_vals, offs, win, *, eb, n_edges,
+                             passes=None):
     if type(ct) is ad.Zero:
         return (_zero_or_none(atom_vals), None, None)
     assert ad.is_undefined_primal(atom_vals)
-    gv = center_scatter(ct, offs, win, eb=eb, n_atoms=atom_vals.aval.shape[0])
+    gv = center_scatter(ct, offs, win, eb=eb, n_atoms=atom_vals.aval.shape[0],
+                        passes=passes)
     return (_cast_ct(gv, atom_vals), None, None)
 
 
@@ -668,7 +704,7 @@ batching.primitive_batchers[perm_rows_p] = _map_batcher(perm_rows, 1)
 
 
 def fused_layer(x, sh, wexp, w, offs, win, *, entries, dims, U, eb, dim_to_irr,
-                n_rank_rows):
+                n_rank_rows, passes=None):
     """One Allegro layer's tensor-track update, fully fused.
 
     x [Ep, d1*U] tensor features; sh [Ep, d2] basis; wexp [Ep, n_irr*U]
@@ -676,9 +712,11 @@ def fused_layer(x, sh, wexp, w, offs, win, *, entries, dims, U, eb, dim_to_irr,
     weights. Returns [Ep, d3*U].
     """
     env = env_scatter(
-        sh, wexp, offs, win, dim_to_irr=dim_to_irr, U=U, eb=eb, n_rank_rows=n_rank_rows
+        sh, wexp, offs, win, dim_to_irr=dim_to_irr, U=U, eb=eb,
+        n_rank_rows=n_rank_rows, passes=passes,
     )
-    return gather_tp(x, env, w, offs, win, entries=entries, dims=dims, U=U, eb=eb)
+    return gather_tp(x, env, w, offs, win, entries=entries, dims=dims, U=U,
+                     eb=eb, passes=passes)
 
 
 # ---------------------------------------------------------------------------
@@ -686,9 +724,9 @@ def fused_layer(x, sh, wexp, w, offs, win, *, entries, dims, U, eb, dim_to_irr,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
 def fused_layer_infer(x, sh, wexp, w, offs, win, entries, dims, U, eb, dim_to_irr,
-                      n_rank_rows):
+                      n_rank_rows, passes=None):
     """Same math as ``fused_layer`` but with a ONE-PASS fused backward:
     (dx, denv, dw) from one kernel sharing the g/x loads and env gather, then
     (dsh, dwexp) from one kernel sharing the denv gather — the HBM-bound
@@ -701,24 +739,29 @@ def fused_layer_infer(x, sh, wexp, w, offs, win, entries, dims, U, eb, dim_to_ir
     consumers reconstruct tiles in VMEM (``fused_tp._combine_window_tiles``)
     instead of paying three full [n_rank_rows, d2*U] passes per combine."""
     eA, eB = fused_tp.env_scatter_call(
-        sh, wexp, offs, win, dim_to_irr=dim_to_irr, U=U, eb=eb, n_rank_rows=n_rank_rows
+        sh, wexp, offs, win, dim_to_irr=dim_to_irr, U=U, eb=eb,
+        n_rank_rows=n_rank_rows, passes=passes,
     )
     return fused_tp.gather_tp_raw_call(
-        x, eA, eB, w, offs, win, entries=entries, dims=dims, U=U, eb=eb
+        x, eA, eB, w, offs, win, entries=entries, dims=dims, U=U, eb=eb,
+        passes=passes,
     )
 
 
-def _fli_fwd(x, sh, wexp, w, offs, win, entries, dims, U, eb, dim_to_irr, n_rank_rows):
+def _fli_fwd(x, sh, wexp, w, offs, win, entries, dims, U, eb, dim_to_irr,
+             n_rank_rows, passes=None):
     eA, eB = fused_tp.env_scatter_call(
-        sh, wexp, offs, win, dim_to_irr=dim_to_irr, U=U, eb=eb, n_rank_rows=n_rank_rows
+        sh, wexp, offs, win, dim_to_irr=dim_to_irr, U=U, eb=eb,
+        n_rank_rows=n_rank_rows, passes=passes,
     )
     out = fused_tp.gather_tp_raw_call(
-        x, eA, eB, w, offs, win, entries=entries, dims=dims, U=U, eb=eb
+        x, eA, eB, w, offs, win, entries=entries, dims=dims, U=U, eb=eb,
+        passes=passes,
     )
     return out, (x, sh, wexp, w, eA, eB, offs, win)
 
 
-def _fli_bwd(entries, dims, U, eb, dim_to_irr, n_rank_rows, res, g):
+def _fli_bwd(entries, dims, U, eb, dim_to_irr, n_rank_rows, passes, res, g):
     import numpy as np
 
     x, sh, wexp, w, eA, eB, offs, win = res
@@ -730,11 +773,12 @@ def _fli_bwd(entries, dims, U, eb, dim_to_irr, n_rank_rows, res, g):
     # `fused` primitive backend, which computes real weight grads).
     dx, dA, dB = fused_tp.bwd_fused_raw_call(
         x, g, eA, eB, w, offs, win, entries=entries, dims=dims, U=U, eb=eb,
-        n_rank_rows=n_rank_rows,
+        n_rank_rows=n_rank_rows, passes=passes,
     )
     dw = jnp.full(w.shape, jnp.nan, fused_tp.compute_dtype(w.dtype))
     dsh, dwexp = fused_tp.unweight_both_raw_call(
-        dA, dB, sh, wexp, offs, win, dim_to_irr=dim_to_irr, U=U, eb=eb
+        dA, dB, sh, wexp, offs, win, dim_to_irr=dim_to_irr, U=U, eb=eb,
+        passes=passes,
     )
     zoffs = np.zeros(offs.shape, jax.dtypes.float0)
     zwin = np.zeros(win.shape, jax.dtypes.float0)
@@ -771,32 +815,36 @@ def _f0_like(a):
     return np.zeros(a.shape, jax.dtypes.float0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13))
 def mega_latent_env(pieces, sh, w0, w1, offs, win,
-                    dim_to_irr, U, eb, n_rank_rows, S, wexp_dtype):
+                    dim_to_irr, U, eb, n_rank_rows, S, wexp_dtype,
+                    mlp_passes=6, passes=None):
     n_hidden = 1 if w1 is not None else 0
     return fused_tp.latent_env_scatter_call(
         pieces, sh, w0, w1, offs, win, dim_to_irr=dim_to_irr, U=U, eb=eb,
         n_rank_rows=n_rank_rows, S=S, n_hidden=n_hidden, wexp_dtype=wexp_dtype,
+        mlp_passes=mlp_passes, passes=passes,
     )
 
 
 def _mle_fwd(pieces, sh, w0, w1, offs, win, dim_to_irr, U, eb, n_rank_rows, S,
-             wexp_dtype):
+             wexp_dtype, mlp_passes=6, passes=None):
     out = mega_latent_env(
         pieces, sh, w0, w1, offs, win, dim_to_irr, U, eb, n_rank_rows, S,
-        wexp_dtype,
+        wexp_dtype, mlp_passes, passes,
     )
     return out, (pieces, sh, w0, w1, offs, win)
 
 
-def _mle_bwd(dim_to_irr, U, eb, n_rank_rows, S, wexp_dtype, res, ct):
+def _mle_bwd(dim_to_irr, U, eb, n_rank_rows, S, wexp_dtype, mlp_passes, passes,
+             res, ct):
     pieces, sh, w0, w1, offs, win = res
     g_lat, dA, dB = ct
     n_hidden = 1 if w1 is not None else 0
     dsh, dpieces = fused_tp.latent_env_bwd_call(
         pieces, sh, w0, w1, dA, dB, g_lat, offs, win, dim_to_irr=dim_to_irr,
         U=U, eb=eb, S=S, n_hidden=n_hidden, wexp_dtype=wexp_dtype,
+        mlp_passes=mlp_passes, passes=passes,
     )
     dpieces = tuple(_cast_ct(dp, _Aval(p)) for dp, p in zip(dpieces, pieces))
     dw0 = jnp.full(w0.shape, jnp.nan, fused_tp.compute_dtype(w0.dtype))
@@ -817,24 +865,37 @@ class _Aval:
 mega_latent_env.defvjp(_mle_fwd, _mle_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
-def gather_tp_infer(x, eA, eB, w, offs, win, entries, dims, U, eb, n_rank_rows):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13))
+def gather_tp_infer(x, eA, eB, w, offs, win, entries, dims, U, eb, n_rank_rows,
+                    passes=None, split_scalars=False, scalar_dtype=None):
+    """``split_scalars``: additionally return the leading-0e scalar block as
+    its own [Ep, U] array — (out, tp_scalars). Saves the consumer a full
+    [Ep, d3*U] read per slice AND keeps the two cotangents separate (the bwd
+    kernel folds the scalar cotangent into g in VMEM) instead of XLA's
+    pad+add fusion over the full array."""
     return fused_tp.gather_tp_raw_call(
-        x, eA, eB, w, offs, win, entries=entries, dims=dims, U=U, eb=eb
+        x, eA, eB, w, offs, win, entries=entries, dims=dims, U=U, eb=eb,
+        passes=passes, split_scalars=split_scalars, scalar_dtype=scalar_dtype,
     )
 
 
-def _gti_fwd(x, eA, eB, w, offs, win, entries, dims, U, eb, n_rank_rows):
+def _gti_fwd(x, eA, eB, w, offs, win, entries, dims, U, eb, n_rank_rows,
+             passes=None, split_scalars=False, scalar_dtype=None):
     out = gather_tp_infer(x, eA, eB, w, offs, win, entries, dims, U, eb,
-                          n_rank_rows)
+                          n_rank_rows, passes, split_scalars, scalar_dtype)
     return out, (x, eA, eB, w, offs, win)
 
 
-def _gti_bwd(entries, dims, U, eb, n_rank_rows, res, g):
+def _gti_bwd(entries, dims, U, eb, n_rank_rows, passes, split_scalars,
+             scalar_dtype, res, ct):
     x, eA, eB, w, offs, win = res
+    if split_scalars:
+        g, gts = ct
+    else:
+        g, gts = ct, None
     dx, dA, dB = fused_tp.bwd_fused_raw_call(
         x, g, eA, eB, w, offs, win, entries=entries, dims=dims, U=U, eb=eb,
-        n_rank_rows=n_rank_rows,
+        n_rank_rows=n_rank_rows, passes=passes, gts=gts,
     )
     dw = jnp.full(w.shape, jnp.nan, fused_tp.compute_dtype(w.dtype))
     return (_cast_ct(dx, _Aval(x)), dA, dB, dw, _f0_like(offs), _f0_like(win))
@@ -843,26 +904,29 @@ def _gti_bwd(entries, dims, U, eb, n_rank_rows, res, g):
 gather_tp_infer.defvjp(_gti_fwd, _gti_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def env_scatter_infer(sh, wexp, offs, win, dim_to_irr, U, eb, n_rank_rows):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def env_scatter_infer(sh, wexp, offs, win, dim_to_irr, U, eb, n_rank_rows,
+                      passes=None):
     """(eA, eB) from explicit env weights (layer-0 path when the producing
     projection is not mega-fused)."""
     return fused_tp.env_scatter_call(
         sh, wexp, offs, win, dim_to_irr=dim_to_irr, U=U, eb=eb,
-        n_rank_rows=n_rank_rows,
+        n_rank_rows=n_rank_rows, passes=passes,
     )
 
 
-def _esi_fwd(sh, wexp, offs, win, dim_to_irr, U, eb, n_rank_rows):
-    out = env_scatter_infer(sh, wexp, offs, win, dim_to_irr, U, eb, n_rank_rows)
+def _esi_fwd(sh, wexp, offs, win, dim_to_irr, U, eb, n_rank_rows, passes=None):
+    out = env_scatter_infer(sh, wexp, offs, win, dim_to_irr, U, eb,
+                            n_rank_rows, passes)
     return out, (sh, wexp, offs, win)
 
 
-def _esi_bwd(dim_to_irr, U, eb, n_rank_rows, res, ct):
+def _esi_bwd(dim_to_irr, U, eb, n_rank_rows, passes, res, ct):
     sh, wexp, offs, win = res
     dA, dB = ct
     dsh, dwexp = fused_tp.unweight_both_raw_call(
-        dA, dB, sh, wexp, offs, win, dim_to_irr=dim_to_irr, U=U, eb=eb
+        dA, dB, sh, wexp, offs, win, dim_to_irr=dim_to_irr, U=U, eb=eb,
+        passes=passes,
     )
     return (_cast_ct(dsh, _Aval(sh)), _cast_ct(dwexp, _Aval(wexp)),
             _f0_like(offs), _f0_like(win))
@@ -871,9 +935,12 @@ def _esi_bwd(dim_to_irr, U, eb, n_rank_rows, res, ct):
 env_scatter_infer.defvjp(_esi_fwd, _esi_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+)
 def gather_tp_embed_infer(sh, w2b, eA, eB, w, offs, win, entries, dims, U, eb,
-                          n_rank_rows, row_specs, out_dtype):
+                          n_rank_rows, row_specs, out_dtype, passes=None,
+                          split_scalars=False, scalar_dtype=None):
     """Layer-0 gather+TP with the two-body tensor embedding fused IN-KERNEL:
     the initial tensor features x0[e, i*U+u] = sh[e, j_i] * w2b[e, irr_i*U+u]
     (reference ``allegro/nn/tensorembed.py:85-96``) are built on the fly from
@@ -881,24 +948,32 @@ def gather_tp_embed_infer(sh, w2b, eA, eB, w, offs, win, entries, dims, U, eb,
     Inference scope (one-pass fused backward; NaN weight cotangent)."""
     return fused_tp.gather_tp_embed_raw_call(
         sh, w2b, eA, eB, w, offs, win, entries=entries, dims=dims, U=U, eb=eb,
-        row_specs=row_specs, out_dtype=out_dtype,
+        row_specs=row_specs, out_dtype=out_dtype, passes=passes,
+        split_scalars=split_scalars, scalar_dtype=scalar_dtype,
     )
 
 
 def _gtei_fwd(sh, w2b, eA, eB, w, offs, win, entries, dims, U, eb,
-              n_rank_rows, row_specs, out_dtype):
+              n_rank_rows, row_specs, out_dtype, passes=None,
+              split_scalars=False, scalar_dtype=None):
     out = gather_tp_embed_infer(
         sh, w2b, eA, eB, w, offs, win, entries, dims, U, eb, n_rank_rows,
-        row_specs, out_dtype,
+        row_specs, out_dtype, passes, split_scalars, scalar_dtype,
     )
     return out, (sh, w2b, eA, eB, w, offs, win)
 
 
-def _gtei_bwd(entries, dims, U, eb, n_rank_rows, row_specs, out_dtype, res, g):
+def _gtei_bwd(entries, dims, U, eb, n_rank_rows, row_specs, out_dtype, passes,
+              split_scalars, scalar_dtype, res, ct):
     sh, w2b, eA, eB, w, offs, win = res
+    if split_scalars:
+        g, gts = ct
+    else:
+        g, gts = ct, None
     dsh, dw2b, dA, dB = fused_tp.bwd_embed_raw_call(
         sh, w2b, g, eA, eB, w, offs, win, entries=entries, dims=dims, U=U,
-        eb=eb, n_rank_rows=n_rank_rows, row_specs=row_specs,
+        eb=eb, n_rank_rows=n_rank_rows, row_specs=row_specs, passes=passes,
+        gts=gts,
     )
     dw = jnp.full(w.shape, jnp.nan, fused_tp.compute_dtype(w.dtype))
     return (_cast_ct(dsh, _Aval(sh)), _cast_ct(dw2b, _Aval(w2b)), dA, dB,
@@ -908,9 +983,12 @@ def _gtei_bwd(entries, dims, U, eb, n_rank_rows, row_specs, out_dtype, res, g):
 gather_tp_embed_infer.defvjp(_gtei_fwd, _gtei_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def readout_sum_infer(pieces, w0, w1, offs, win, eb, n_rank_rows, n_atoms,
-                      n_hidden):
+                      n_hidden, mlp_passes=6):
+    # NOTE: the per-atom ENERGY scatter (and its backward gather) is pinned
+    # exact (passes=3) regardless of the one-hot policy — energies are the
+    # primary observable and the [*, 1] products cost nothing extra.
     """Fused readout: the per-edge readout MLP and the edges→atoms energy
     scatter run as one kernel (the hidden activation and the per-edge energy
     never exist in HBM) — the reference chain FieldMLP('edge_energy') →
@@ -919,24 +997,26 @@ def readout_sum_infer(pieces, w0, w1, offs, win, eb, n_rank_rows, n_atoms,
     XLA readout, whose math is identical)."""
     eA, eB = fused_tp.readout_sum_call(
         pieces, w0, w1, offs, win, eb=eb, n_rank_rows=n_rank_rows,
-        n_hidden=n_hidden,
+        n_hidden=n_hidden, mlp_passes=mlp_passes, passes=3,
     )
     combined = fused_tp.combine_scatter_outputs(eA, eB, win, eb)
     return combined[:n_atoms]
 
 
-def _rsi_fwd(pieces, w0, w1, offs, win, eb, n_rank_rows, n_atoms, n_hidden):
+def _rsi_fwd(pieces, w0, w1, offs, win, eb, n_rank_rows, n_atoms, n_hidden,
+             mlp_passes=6):
     out = readout_sum_infer(pieces, w0, w1, offs, win, eb, n_rank_rows,
-                            n_atoms, n_hidden)
+                            n_atoms, n_hidden, mlp_passes)
     return out, (pieces, w0, w1, offs, win)
 
 
-def _rsi_bwd(eb, n_rank_rows, n_atoms, n_hidden, res, g):
+def _rsi_bwd(eb, n_rank_rows, n_atoms, n_hidden, mlp_passes, res, g):
     pieces, w0, w1, offs, win = res
     y_ct = jnp.zeros((n_rank_rows, 1), fused_tp.compute_dtype(g.dtype))
     y_ct = y_ct.at[:n_atoms].set(g.astype(y_ct.dtype))
     dpieces = fused_tp.readout_bwd_call(
-        pieces, w0, w1, y_ct, offs, win, eb=eb, n_hidden=n_hidden
+        pieces, w0, w1, y_ct, offs, win, eb=eb, n_hidden=n_hidden,
+        mlp_passes=mlp_passes, passes=3,
     )
     dpieces = tuple(_cast_ct(dp, _Aval(p)) for dp, p in zip(dpieces, pieces))
     dw0 = jnp.full(w0.shape, jnp.nan, fused_tp.compute_dtype(w0.dtype))

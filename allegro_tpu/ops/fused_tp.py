@@ -200,16 +200,21 @@ def _split3_bf16(x):
     return x0, x1, x2
 
 
-def _onehot_dot(g_bool, data, dtype):
+def _onehot_dot(g_bool, data, dtype, passes=None):
     """g_bool [m, n] one-hot rows (bool) @ data [n, C] — exact, fast.
 
-    f32 data: 3 bf16 passes (see _split3_bf16). Other dtypes (f64 tests,
-    bf16 storage): a single pass at HIGHEST.
+    f32 data: ``passes`` bf16 splits (3 = exact, see _split3_bf16; 2 drops
+    the smallest term, ~7.6e-6 rel). ``passes=None`` resolves the module
+    default ONEHOT_PASSES at trace time; callers with a per-model policy
+    (builder kwarg ``onehot_passes``) or an exactness requirement (position
+    gathers) pass it explicitly. Other dtypes (f64 tests, bf16 storage): a
+    single pass at HIGHEST.
     """
+    passes = ONEHOT_PASSES if passes is None else passes
     data = data.astype(dtype)
     if dtype == jnp.float32 and not INTERPRET:
         g = g_bool.astype(jnp.bfloat16)
-        parts = _split3_bf16(data)[:ONEHOT_PASSES]
+        parts = _split3_bf16(data)[:passes]
         out = None
         for part in parts:
             t = jax.lax.dot_general(
@@ -217,7 +222,7 @@ def _onehot_dot(g_bool, data, dtype):
             )
             out = t if out is None else out + t
         return out
-    if dtype == jnp.float32 and INTERPRET and ONEHOT_PASSES != 3:
+    if dtype == jnp.float32 and INTERPRET and passes != 3:
         # interpret-mode (CPU tests) emulation of the REDUCED-pass policy:
         # drop the same split terms the MXU path drops, but run the dots at
         # HIGHEST on f32-cast parts (what matters for accuracy is the
@@ -227,7 +232,7 @@ def _onehot_dot(g_bool, data, dtype):
         # bitwise-exact f32 reconstruction, so the plain HIGHEST pass below
         # covers it without tripling interpret-mode test cost.
         out = None
-        for part in _split3_bf16(data)[:ONEHOT_PASSES]:
+        for part in _split3_bf16(data)[:passes]:
             t = jax.lax.dot_general(
                 g_bool.astype(jnp.float32), part.astype(jnp.float32),
                 _DN_ROWS, precision=_HIGHEST,
@@ -242,23 +247,24 @@ def _onehot_dot(g_bool, data, dtype):
     )
 
 
-def _onehot_dot_right(data, g_bool, dtype):
+def _onehot_dot_right(data, g_bool, dtype, passes=None):
     """data [C, n] @ one-hot g_bool [n, m] — right-multiplied twin of
-    :func:`_onehot_dot` (same exact 3-pass bf16 data split for f32)."""
+    :func:`_onehot_dot` (same split-pass policy)."""
+    passes = ONEHOT_PASSES if passes is None else passes
     data = data.astype(dtype)
     if dtype == jnp.float32 and not INTERPRET:
         g = g_bool.astype(jnp.bfloat16)
         out = None
-        for part in _split3_bf16(data)[:ONEHOT_PASSES]:
+        for part in _split3_bf16(data)[:passes]:
             t = jax.lax.dot_general(
                 part, g, _DN_ROWS, preferred_element_type=jnp.float32
             )
             out = t if out is None else out + t
         return out
-    if dtype == jnp.float32 and INTERPRET and ONEHOT_PASSES != 3:
+    if dtype == jnp.float32 and INTERPRET and passes != 3:
         # reduced-pass emulation under interpret — see _onehot_dot
         out = None
-        for part in _split3_bf16(data)[:ONEHOT_PASSES]:
+        for part in _split3_bf16(data)[:passes]:
             t = jax.lax.dot_general(
                 part.astype(jnp.float32), g_bool.astype(jnp.float32),
                 _DN_ROWS, precision=_HIGHEST,
@@ -273,7 +279,7 @@ def _onehot_dot_right(data, g_bool, dtype):
     )
 
 
-def _gather_windows(o, envA, envB, eb: int, dtype):
+def _gather_windows(o, envA, envB, eb: int, dtype, passes=None):
     """One-hot gather of per-edge environment rows from the two window tiles.
 
     o [eb] int32 in [0, 2*eb); envA/envB [eb, C]. Exact: each G row has at
@@ -282,12 +288,12 @@ def _gather_windows(o, envA, envB, eb: int, dtype):
     """
     ii = jax.lax.broadcasted_iota(jnp.int32, (o.shape[0], eb), 1)
     oc = o[:, None]
-    return _onehot_dot(ii == oc, envA, dtype) + _onehot_dot(
-        ii == (oc - eb), envB, dtype
+    return _onehot_dot(ii == oc, envA, dtype, passes) + _onehot_dot(
+        ii == (oc - eb), envB, dtype, passes
     )
 
 
-def _scatter_windows(o, vals, eb: int, dtype):
+def _scatter_windows(o, vals, eb: int, dtype, passes=None):
     """One-hot scatter (transpose of gather): per-window sums of vals rows.
 
     Returns (sumA [eb, C], sumB [eb, C]). Exact for the same reason only when
@@ -297,8 +303,8 @@ def _scatter_windows(o, vals, eb: int, dtype):
     """
     ii = jax.lax.broadcasted_iota(jnp.int32, (eb, o.shape[0]), 0)
     orow = o[None, :]
-    sa = _onehot_dot(ii == orow, vals, dtype)
-    sb = _onehot_dot(ii == (orow - eb), vals, dtype)
+    sa = _onehot_dot(ii == orow, vals, dtype, passes)
+    sb = _onehot_dot(ii == (orow - eb), vals, dtype, passes)
     return sa, sb
 
 
@@ -397,12 +403,12 @@ def _env_pair_specs(cols, eb):
 
 
 def _gather_tp_kernel(
-    win_ref, offs_ref, x_ref, envA_ref, envB_ref, w_ref, out_ref, *, entries, dims, U, eb
+    win_ref, offs_ref, x_ref, envA_ref, envB_ref, w_ref, out_ref, *, entries, dims, U, eb, passes=None
 ):
     d1, d2, d3 = dims
     o = offs_ref[0, :]
     cdt = compute_dtype(x_ref.dtype, envA_ref.dtype)
-    env_eT = _gather_windows(o, envA_ref[...], envB_ref[...], eb, cdt).T
+    env_eT = _gather_windows(o, envA_ref[...], envB_ref[...], eb, cdt, passes).T
     xT = x_ref[...].astype(cdt).T
     wT = w_ref[...].astype(cdt).T
     acc = _tp_accumulate_T(
@@ -413,7 +419,8 @@ def _gather_tp_kernel(
     out_ref[...] = _cat_T(acc, U, eb, cdt).T.astype(out_ref.dtype)
 
 
-def gather_tp_call(x, envA, envB, w, offs_p, win, *, entries, dims, U, eb):
+def gather_tp_call(x, envA, envB, w, offs_p, win, *, entries, dims, U, eb,
+                   passes=None):
     """x [Ep, d1*U], envA/envB [Na, d2*U], w [P, U] → out [Ep, d3*U]."""
     Ep = x.shape[0]
     nb = Ep // eb
@@ -431,7 +438,10 @@ def gather_tp_call(x, envA, envB, w, offs_p, win, *, entries, dims, U, eb):
         ],
         out_specs=pl.BlockSpec((eb, d3 * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
     )
-    kern = functools.partial(_gather_tp_kernel, entries=entries, dims=dims, U=U, eb=eb)
+    kern = functools.partial(
+        _gather_tp_kernel, entries=entries, dims=dims, U=U, eb=eb,
+        passes=passes,
+    )
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((Ep, d3 * U), x.dtype),
@@ -442,7 +452,7 @@ def gather_tp_call(x, envA, envB, w, offs_p, win, *, entries, dims, U, eb):
 
 def _gather_tp_raw_kernel(
     win_ref, offs_ref, x_ref, Aw_ref, Aw1_ref, Bw_ref, Bw1_ref, w_ref, out_ref,
-    *, entries, dims, U, eb, nb
+    *maybe_ts, entries, dims, U, eb, nb, passes=None
 ):
     d1, d2, d3 = dims
     o = offs_ref[0, :]
@@ -450,7 +460,7 @@ def _gather_tp_raw_kernel(
     envW, envW1 = _combine_window_tiles(
         win_ref, nb, Aw_ref[...], Aw1_ref[...], Bw_ref[...], Bw1_ref[...], cdt
     )
-    env_eT = _gather_windows(o, envW, envW1, eb, cdt).T
+    env_eT = _gather_windows(o, envW, envW1, eb, cdt, passes).T
     xT = x_ref[...].astype(cdt).T
     wT = w_ref[...].astype(cdt).T
     acc = _tp_accumulate_T(
@@ -459,15 +469,40 @@ def _gather_tp_raw_kernel(
         wT, entries, U, d3,
     )
     out_ref[...] = _cat_T(acc, U, eb, cdt).T.astype(out_ref.dtype)
+    if maybe_ts:
+        # the leading-0e scalar block as its OWN output: downstream consumers
+        # (the latent MLP pieces) read [Ep, U] instead of slicing the full
+        # [Ep, d3*U] (XLA pays a full-array read per slice), and the two
+        # cotangents stay separate instead of a pad+add fusion
+        ts = acc[0] if acc[0] is not None else jnp.zeros((U, eb), cdt)
+        maybe_ts[0][...] = ts.T.astype(maybe_ts[0].dtype)
 
 
-def gather_tp_raw_call(x, eA, eB, w, offs_p, win, *, entries, dims, U, eb):
+def gather_tp_raw_call(x, eA, eB, w, offs_p, win, *, entries, dims, U, eb,
+                       passes=None, split_scalars=False, scalar_dtype=None):
     """Raw-window twin of :func:`gather_tp_call`: takes the UNcombined
-    scatter partials (eA, eB) and reconstructs the window tiles in VMEM."""
+    scatter partials (eA, eB) and reconstructs the window tiles in VMEM.
+
+    ``split_scalars=True``: additionally returns the leading scalar block
+    ``out[:, :U]`` as a separate [Ep, U] array (``scalar_dtype`` storage,
+    default the compute dtype) — returns (out, tp_scalars)."""
     Ep = x.shape[0]
     nb = Ep // eb
     d1, d2, d3 = dims
     entries = sort_entries_for_pairs(entries)
+    out_specs = pl.BlockSpec((eb, d3 * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((Ep, d3 * U), x.dtype)
+    if split_scalars:
+        out_specs = [
+            out_specs,
+            pl.BlockSpec((eb, U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct(
+                (Ep, U), scalar_dtype or compute_dtype(x.dtype, eA.dtype)
+            ),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
@@ -477,14 +512,15 @@ def gather_tp_raw_call(x, eA, eB, w, offs_p, win, *, entries, dims, U, eb):
             *_env_pair_specs(d2 * U, eb),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((eb, d3 * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+        out_specs=out_specs,
     )
     kern = functools.partial(
-        _gather_tp_raw_kernel, entries=entries, dims=dims, U=U, eb=eb, nb=nb
+        _gather_tp_raw_kernel, entries=entries, dims=dims, U=U, eb=eb, nb=nb,
+        passes=passes,
     )
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((Ep, d3 * U), x.dtype),
+        out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=INTERPRET,
     )(win, offs_p, x, eA, eA, eB, eB, w)
@@ -517,7 +553,7 @@ def _embed_rows(shT, w2bT, row_specs, U):
 
 def _gather_tp_embed_raw_kernel(
     win_ref, offs_ref, sh_ref, w2b_ref, Aw_ref, Aw1_ref, Bw_ref, Bw1_ref, w_ref,
-    out_ref, *, entries, dims, U, eb, nb, row_specs
+    out_ref, *maybe_ts, entries, dims, U, eb, nb, row_specs, passes=None
 ):
     d1, d2, d3 = dims
     o = offs_ref[0, :]
@@ -525,7 +561,7 @@ def _gather_tp_embed_raw_kernel(
     envW, envW1 = _combine_window_tiles(
         win_ref, nb, Aw_ref[...], Aw1_ref[...], Bw_ref[...], Bw1_ref[...], cdt
     )
-    env_eT = _gather_windows(o, envW, envW1, eb, cdt).T
+    env_eT = _gather_windows(o, envW, envW1, eb, cdt, passes).T
     shT = sh_ref[...].astype(cdt)          # [d_sh, eb] (pre-transposed operand)
     w2bT = w2b_ref[...].astype(cdt).T      # [n_irr*U, eb]
     wT = w_ref[...].astype(cdt).T
@@ -536,13 +572,17 @@ def _gather_tp_embed_raw_kernel(
         wT, entries, U, d3,
     )
     out_ref[...] = _cat_T(acc, U, eb, cdt).T.astype(out_ref.dtype)
+    if maybe_ts:
+        ts = acc[0] if acc[0] is not None else jnp.zeros((U, eb), cdt)
+        maybe_ts[0][...] = ts.T.astype(maybe_ts[0].dtype)
 
 
 def gather_tp_embed_raw_call(
     sh, w2b, eA, eB, w, offs_p, win, *, entries, dims, U, eb, row_specs,
-    out_dtype=None,
+    out_dtype=None, passes=None, split_scalars=False, scalar_dtype=None,
 ):
-    """sh [Ep, d_sh], w2b [Ep, n_irr*U], raw env pair → out [Ep, d3*U].
+    """sh [Ep, d_sh], w2b [Ep, n_irr*U], raw env pair → out [Ep, d3*U]
+    (or (out, tp_scalars [Ep, U]) with ``split_scalars``).
 
     ``row_specs``: tuple of (sh_dim, irrep) per layer-0 input dim (the
     ladder-pruned selection)."""
@@ -554,6 +594,17 @@ def gather_tp_embed_raw_call(
     n_cols = w2b.shape[1]
     entries = sort_entries_for_pairs(entries)
     sh_t = sh.T
+    out_specs = pl.BlockSpec((eb, d3 * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((Ep, d3 * U), out_dtype or compute_dtype(w2b.dtype))
+    if split_scalars:
+        out_specs = [
+            out_specs,
+            pl.BlockSpec((eb, U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct((Ep, U), scalar_dtype or compute_dtype(w2b.dtype)),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
@@ -564,30 +615,34 @@ def gather_tp_embed_raw_call(
             *_env_pair_specs(d2 * U, eb),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((eb, d3 * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+        out_specs=out_specs,
     )
     kern = functools.partial(
         _gather_tp_embed_raw_kernel, entries=entries, dims=dims, U=U, eb=eb,
-        nb=nb, row_specs=tuple(row_specs),
+        nb=nb, row_specs=tuple(row_specs), passes=passes,
     )
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct(
-            (Ep, d3 * U), out_dtype or compute_dtype(w2b.dtype)
-        ),
+        out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=INTERPRET,
     )(win, offs_p, sh_t, w2b, eA, eA, eB, eB, w)
 
 
 def _bwd_embed_raw_kernel(
-    win_ref, offs_ref, sh_ref, w2b_ref, g_ref, Aw_ref, Aw1_ref, Bw_ref, Bw1_ref,
-    w_ref, dsh_ref, dw2b_ref, dA_ref, dB_ref, *, entries, dims, U, eb, nb,
-    row_specs, n_irr
+    win_ref, offs_ref, sh_ref, w2b_ref, g_ref, *refs, entries, dims, U, eb, nb,
+    row_specs, n_irr, passes=None, with_gts=False
 ):
     """Backward of the embed-fused gather+TP: (dsh, dw2b, denv pair) in one
     pass — dx never exists; its role is played by in-register [U, eb] blocks
     immediately reduced onto the factors (the unweight_both pattern)."""
+    if with_gts:
+        gts_ref, Aw_ref, Aw1_ref, Bw_ref, Bw1_ref, w_ref = refs[:6]
+        dsh_ref, dw2b_ref, dA_ref, dB_ref = refs[6:]
+    else:
+        gts_ref = None
+        Aw_ref, Aw1_ref, Bw_ref, Bw1_ref, w_ref = refs[:5]
+        dsh_ref, dw2b_ref, dA_ref, dB_ref = refs[5:]
     d1, d2, d3 = dims
     d_sh = dsh_ref.shape[0]
     o = offs_ref[0, :]
@@ -595,10 +650,14 @@ def _bwd_embed_raw_kernel(
     envW, envW1 = _combine_window_tiles(
         win_ref, nb, Aw_ref[...], Aw1_ref[...], Bw_ref[...], Bw1_ref[...], cdt
     )
-    env_eT = _gather_windows(o, envW, envW1, eb, cdt).T
+    env_eT = _gather_windows(o, envW, envW1, eb, cdt, passes).T
     shT = sh_ref[...].astype(cdt)
     w2bT = w2b_ref[...].astype(cdt).T
     gT = g_ref[...].astype(cdt).T
+    if gts_ref is not None:
+        gT = jnp.concatenate(
+            [gT[:U, :] + gts_ref[...].astype(cdt).T, gT[U:, :]], axis=0
+        )
     wT = w_ref[...].astype(cdt).T
     x_rows = _embed_rows(shT, w2bT, row_specs, U)
 
@@ -644,7 +703,7 @@ def _bwd_embed_raw_kernel(
         contrib = t * (c * wT[:, p][:, None])
         denv_acc[j] = contrib if denv_acc[j] is None else denv_acc[j] + contrib
     vals = _cat_T(denv_acc, U, eb, cdt).T
-    sa, sb = _scatter_windows(o, vals, eb, cdt)
+    sa, sb = _scatter_windows(o, vals, eb, cdt, passes)
     first = _first_visit(win_ref)
 
     @pl.when(first)
@@ -658,9 +717,10 @@ def _bwd_embed_raw_kernel(
 
 def bwd_embed_raw_call(
     sh, w2b, g, eA, eB, w, offs_p, win, *, entries, dims, U, eb, n_rank_rows,
-    row_specs,
+    row_specs, passes=None, gts=None,
 ):
-    """→ (dsh [Ep, d_sh], dw2b [Ep, n_irr*U], dA, dB [Nr, d2*U])."""
+    """→ (dsh [Ep, d_sh], dw2b [Ep, n_irr*U], dA, dB [Nr, d2*U]).
+    ``gts`` [Ep, U]: split-scalar-output cotangent folded into g in VMEM."""
     Ep = sh.shape[0]
     nb = Ep // eb
     d1, d2, d3 = dims
@@ -668,17 +728,25 @@ def bwd_embed_raw_call(
     n_cols = w2b.shape[1]
     n_irr = n_cols // U
     sh_t = sh.T
+    in_specs = [
+        pl.BlockSpec((8, eb), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d_sh, eb), lambda b, w_: (0, b), memory_space=pltpu.VMEM),
+        pl.BlockSpec((eb, n_cols), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((eb, d3 * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [win, offs_p, sh_t, w2b, g]
+    if gts is not None:
+        in_specs.append(
+            pl.BlockSpec((eb, U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(gts)
+    in_specs.extend(_env_pair_specs(d2 * U, eb))
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    args.extend([eA, eA, eB, eB, w])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((8, eb), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d_sh, eb), lambda b, w_: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((eb, n_cols), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((eb, d3 * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
-            *_env_pair_specs(d2 * U, eb),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((d_sh, eb), lambda b, w_: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((eb, n_cols), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
@@ -688,7 +756,8 @@ def bwd_embed_raw_call(
     )
     kern = functools.partial(
         _bwd_embed_raw_kernel, entries=tuple(entries), dims=dims, U=U, eb=eb,
-        nb=nb, row_specs=tuple(row_specs), n_irr=n_irr,
+        nb=nb, row_specs=tuple(row_specs), n_irr=n_irr, passes=passes,
+        with_gts=gts is not None,
     )
     cdt = compute_dtype(w2b.dtype, g.dtype)
     env_shape = jax.ShapeDtypeStruct((n_rank_rows, d2 * U), cdt)
@@ -702,71 +771,8 @@ def bwd_embed_raw_call(
         ],
         grid_spec=grid_spec,
         interpret=INTERPRET,
-    )(win, offs_p, sh_t, w2b, g, eA, eA, eB, eB, w)
+    )(*args)
     return dshT.T, dw2b, dA, dB
-
-
-# ---------------------------------------------------------------------------
-# feature-major I/O prototype of kernel B (layout experiment, see
-# scripts/probe_fm.py): per-edge tensor arrays and env windows enter/leave
-# as [C, Ep] / [C, n_rank_rows], so the kernel body runs entirely in the
-# feature-major form the VPU wants with ZERO in-kernel relayouts (the
-# edge-major kernels transpose every operand and the output in VMEM).
-# Gather/scatter ride the right-multiplied one-hot products exactly like the
-# center_sum/center_broadcast kernels. If the silicon race shows a win, the
-# whole family flips to this convention.
-# ---------------------------------------------------------------------------
-
-
-def _gather_tp_fm_kernel(
-    win_ref, offs_ref, x_ref, envA_ref, envB_ref, w_ref, out_ref, *, entries, dims, U, eb
-):
-    d1, d2, d3 = dims
-    o = offs_ref[0, :]
-    cdt = compute_dtype(x_ref.dtype, envA_ref.dtype)
-    # gather: env_e[:, e] = env[:, o_e] (two window tiles) — one-hot right-mult
-    ii = jax.lax.broadcasted_iota(jnp.int32, (eb, eb), 0)  # [atom, edge]
-    oc = o[None, :]
-    env_eT = _onehot_dot_right(envA_ref[...].astype(cdt), ii == oc, cdt)
-    env_eT = env_eT + _onehot_dot_right(
-        envB_ref[...].astype(cdt), ii == (oc - eb), cdt
-    )
-    xT = x_ref[...].astype(cdt)
-    wT = w_ref[...].astype(cdt)  # [U, P] (pre-transposed operand)
-    acc = _tp_accumulate_T(
-        lambda i: xT[i * U : (i + 1) * U, :],
-        lambda j: env_eT[j * U : (j + 1) * U, :],
-        wT, entries, U, d3,
-    )
-    out_ref[...] = _cat_T(acc, U, eb, cdt).astype(out_ref.dtype)
-
-
-def gather_tp_fm_call(xT, envAT, envBT, w, offs_p, win, *, entries, dims, U, eb):
-    """Feature-major twin of :func:`gather_tp_call`:
-    xT [d1*U, Ep], envAT/envBT [d2*U, Nr], w [P, U] → out [d3*U, Ep]."""
-    Ep = xT.shape[1]
-    nb = Ep // eb
-    d1, d2, d3 = dims
-    entries = sort_entries_for_pairs(entries)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((8, eb), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d1 * U, eb), lambda b, w_: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d2 * U, eb), lambda b, w_: (0, w_[b]), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d2 * U, eb), lambda b, w_: (0, w_[b] + 1), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((d3 * U, eb), lambda b, w_: (0, b), memory_space=pltpu.VMEM),
-    )
-    kern = functools.partial(_gather_tp_fm_kernel, entries=entries, dims=dims, U=U, eb=eb)
-    return pl.pallas_call(
-        kern,
-        out_shape=jax.ShapeDtypeStruct((d3 * U, Ep), xT.dtype),
-        grid_spec=grid_spec,
-        interpret=INTERPRET,
-    )(win, offs_p, xT, envAT, envBT, w.T)
 
 
 # ---------------------------------------------------------------------------
@@ -775,7 +781,7 @@ def gather_tp_fm_call(xT, envAT, envBT, w, offs_p, win, *, entries, dims, U, eb)
 
 
 def _tp_scatter_kernel(
-    win_ref, offs_ref, x_ref, g_ref, w_ref, outA_ref, outB_ref, *, entries, dims, U, eb
+    win_ref, offs_ref, x_ref, g_ref, w_ref, outA_ref, outB_ref, *, entries, dims, U, eb, passes=None
 ):
     d1, d2, d3 = dims
     o = offs_ref[0, :]
@@ -792,7 +798,7 @@ def _tp_scatter_kernel(
         U, d2,
     )
     vals = _cat_T(acc, U, eb, cdt).T  # [eb, d2*U]
-    sa, sb = _scatter_windows(o, vals, eb, cdt)
+    sa, sb = _scatter_windows(o, vals, eb, cdt, passes)
     first = _first_visit(win_ref)
 
     @pl.when(first)
@@ -804,7 +810,8 @@ def _tp_scatter_kernel(
     outB_ref[...] = outB_ref[...] + sb.astype(outB_ref.dtype)
 
 
-def tp_scatter_call(x, g, w, offs_p, win, *, entries, dims, U, eb, n_rank_rows):
+def tp_scatter_call(x, g, w, offs_p, win, *, entries, dims, U, eb,
+                    n_rank_rows, passes=None):
     """x [Ep, d1*U], g [Ep, d3*U], w [P, U] → (dA, dB) each [Na, d2*U]."""
     Ep = x.shape[0]
     nb = Ep // eb
@@ -824,7 +831,10 @@ def tp_scatter_call(x, g, w, offs_p, win, *, entries, dims, U, eb, n_rank_rows):
             pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
         ],
     )
-    kern = functools.partial(_tp_scatter_kernel, entries=entries, dims=dims, U=U, eb=eb)
+    kern = functools.partial(
+        _tp_scatter_kernel, entries=entries, dims=dims, U=U, eb=eb,
+        passes=passes,
+    )
     # env cotangents accumulate across grid steps — keep them >= f32 even
     # when the per-edge operands are stored bf16
     shape = jax.ShapeDtypeStruct((n_rank_rows, d2 * U), compute_dtype(x.dtype, g.dtype))
@@ -842,11 +852,11 @@ def tp_scatter_call(x, g, w, offs_p, win, *, entries, dims, U, eb, n_rank_rows):
 
 
 def _gather_dw_kernel(
-    win_ref, offs_ref, x_ref, envA_ref, envB_ref, g_ref, out_ref, *, entries, dims, U, eb, n_paths
+    win_ref, offs_ref, x_ref, envA_ref, envB_ref, g_ref, out_ref, *, entries, dims, U, eb, n_paths, passes=None
 ):
     o = offs_ref[0, :]
     cdt = compute_dtype(x_ref.dtype, g_ref.dtype, envA_ref.dtype)
-    env_eT = _gather_windows(o, envA_ref[...], envB_ref[...], eb, cdt).T
+    env_eT = _gather_windows(o, envA_ref[...], envB_ref[...], eb, cdt, passes).T
     xT = x_ref[...].astype(cdt).T
     gT = g_ref[...].astype(cdt).T
     acc = [None] * n_paths
@@ -870,7 +880,8 @@ def _gather_dw_kernel(
             out_ref[p, :] = out_ref[p, :] + acc[p][:, 0].astype(out_ref.dtype)
 
 
-def gather_dw_call(x, envA, envB, g, offs_p, win, *, entries, dims, U, eb):
+def gather_dw_call(x, envA, envB, g, offs_p, win, *, entries, dims, U, eb,
+                   passes=None):
     """→ dw [P, U]."""
     Ep = x.shape[0]
     nb = Ep // eb
@@ -890,7 +901,8 @@ def gather_dw_call(x, envA, envB, g, offs_p, win, *, entries, dims, U, eb):
         out_specs=pl.BlockSpec((n_paths, U), lambda b, w_: (0, 0), memory_space=pltpu.VMEM),
     )
     kern = functools.partial(
-        _gather_dw_kernel, entries=entries, dims=dims, U=U, eb=eb, n_paths=n_paths
+        _gather_dw_kernel, entries=entries, dims=dims, U=U, eb=eb,
+        n_paths=n_paths, passes=passes,
     )
     return pl.pallas_call(
         kern,
@@ -922,14 +934,14 @@ def combine_scatter_cols(dA, dB, win, eb: int):
     return jnp.where(mA, dA, zero) + jnp.where(mB, dB, zero)
 
 
-def _center_sum_kernel(win_ref, offs_ref, v_ref, outA_ref, outB_ref, *, eb):
+def _center_sum_kernel(win_ref, offs_ref, v_ref, outA_ref, outB_ref, *, eb, passes=None):
     o = offs_ref[0, :]
     cdt = compute_dtype(v_ref.dtype)
     v = v_ref[...].astype(cdt)  # [C, eb] feature-major
     ii = jax.lax.broadcasted_iota(jnp.int32, (eb, eb), 1)  # [edge, atom]
     oc = o[:, None]
-    sa = _onehot_dot_right(v, ii == oc, cdt)
-    sb = _onehot_dot_right(v, ii == (oc - eb), cdt)
+    sa = _onehot_dot_right(v, ii == oc, cdt, passes)
+    sb = _onehot_dot_right(v, ii == (oc - eb), cdt, passes)
     first = _first_visit(win_ref)
 
     @pl.when(first)
@@ -941,7 +953,7 @@ def _center_sum_kernel(win_ref, offs_ref, v_ref, outA_ref, outB_ref, *, eb):
     outB_ref[...] = outB_ref[...] + sb.astype(outB_ref.dtype)
 
 
-def center_sum_call(vT, offs_p, win, *, eb, n_rank_rows):
+def center_sum_call(vT, offs_p, win, *, eb, n_rank_rows, passes=None):
     """vT [C, Ep] per-edge values (feature-major) → two window partials
     [C, n_rank_rows]; combine with :func:`combine_scatter_cols`."""
     C, Ep = vT.shape
@@ -960,24 +972,26 @@ def center_sum_call(vT, offs_p, win, *, eb, n_rank_rows):
     )
     shape = jax.ShapeDtypeStruct((C, n_rank_rows), compute_dtype(vT.dtype))
     return pl.pallas_call(
-        functools.partial(_center_sum_kernel, eb=eb),
+        functools.partial(_center_sum_kernel, eb=eb, passes=passes),
         out_shape=[shape, shape],
         grid_spec=grid_spec,
         interpret=INTERPRET,
     )(win, offs_p, vT)
 
 
-def _center_broadcast_kernel(win_ref, offs_ref, aA_ref, aB_ref, out_ref, *, eb):
+def _center_broadcast_kernel(win_ref, offs_ref, aA_ref, aB_ref, out_ref, *, eb, passes=None):
     o = offs_ref[0, :]
     cdt = compute_dtype(aA_ref.dtype)
     ii = jax.lax.broadcasted_iota(jnp.int32, (eb, eb), 0)  # [atom, edge]
     oc = o[None, :]
-    out = _onehot_dot_right(aA_ref[...].astype(cdt), ii == oc, cdt)
-    out = out + _onehot_dot_right(aB_ref[...].astype(cdt), ii == (oc - eb), cdt)
+    out = _onehot_dot_right(aA_ref[...].astype(cdt), ii == oc, cdt, passes)
+    out = out + _onehot_dot_right(
+        aB_ref[...].astype(cdt), ii == (oc - eb), cdt, passes
+    )
     out_ref[...] = out.astype(out_ref.dtype)
 
 
-def center_broadcast_call(aT, offs_p, win, *, eb, Ep):
+def center_broadcast_call(aT, offs_p, win, *, eb, Ep, passes=None):
     """aT [C, n_rank_rows] per-rank values → per-edge [C, Ep]."""
     C = aT.shape[0]
     nb = Ep // eb
@@ -992,7 +1006,7 @@ def center_broadcast_call(aT, offs_p, win, *, eb, Ep):
         out_specs=pl.BlockSpec((C, eb), lambda b, w_: (0, b), memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        functools.partial(_center_broadcast_kernel, eb=eb),
+        functools.partial(_center_broadcast_kernel, eb=eb, passes=passes),
         out_shape=jax.ShapeDtypeStruct((C, Ep), compute_dtype(aT.dtype)),
         grid_spec=grid_spec,
         interpret=INTERPRET,
@@ -1006,7 +1020,7 @@ def center_broadcast_call(aT, offs_p, win, *, eb, Ep):
 
 
 def _env_scatter_kernel(
-    win_ref, offs_ref, sh_ref, wexp_ref, outA_ref, outB_ref, *, dim_to_irr, U, eb
+    win_ref, offs_ref, sh_ref, wexp_ref, outA_ref, outB_ref, *, dim_to_irr, U, eb, passes=None
 ):
     o = offs_ref[0, :]
     d2 = len(dim_to_irr)
@@ -1019,7 +1033,7 @@ def _env_scatter_kernel(
         irr = dim_to_irr[j]
         rows.append(shT[j : j + 1, :] * wexpT[irr * U : (irr + 1) * U, :])
     vals = jnp.concatenate(rows, axis=0).T  # [eb, d2*U]
-    sa, sb = _scatter_windows(o, vals, eb, cdt)
+    sa, sb = _scatter_windows(o, vals, eb, cdt, passes)
     first = _first_visit(win_ref)
 
     @pl.when(first)
@@ -1031,7 +1045,8 @@ def _env_scatter_kernel(
     outB_ref[...] = outB_ref[...] + sb.astype(outB_ref.dtype)
 
 
-def env_scatter_call(sh, wexp, offs_p, win, *, dim_to_irr, U, eb, n_rank_rows):
+def env_scatter_call(sh, wexp, offs_p, win, *, dim_to_irr, U, eb,
+                     n_rank_rows, passes=None):
     """sh [Ep, d2], wexp [Ep, n_irr*U] → (envA, envB) each [Na, d2*U]."""
     Ep = sh.shape[0]
     nb = Ep // eb
@@ -1051,7 +1066,10 @@ def env_scatter_call(sh, wexp, offs_p, win, *, dim_to_irr, U, eb, n_rank_rows):
             pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
         ],
     )
-    kern = functools.partial(_env_scatter_kernel, dim_to_irr=tuple(dim_to_irr), U=U, eb=eb)
+    kern = functools.partial(
+        _env_scatter_kernel, dim_to_irr=tuple(dim_to_irr), U=U, eb=eb,
+        passes=passes,
+    )
     shape = jax.ShapeDtypeStruct((n_rank_rows, d2 * U), compute_dtype(sh.dtype, wexp.dtype))
     return pl.pallas_call(
         kern,
@@ -1069,11 +1087,11 @@ def env_scatter_call(sh, wexp, offs_p, win, *, dim_to_irr, U, eb, n_rank_rows):
 
 
 def _gather_unweight_sh_kernel(
-    win_ref, offs_ref, tA_ref, tB_ref, wexp_ref, out_ref, *, dim_to_irr, U, eb
+    win_ref, offs_ref, tA_ref, tB_ref, wexp_ref, out_ref, *, dim_to_irr, U, eb, passes=None
 ):
     o = offs_ref[0, :]
     cdt = compute_dtype(tA_ref.dtype, wexp_ref.dtype)
-    t_eT = _gather_windows(o, tA_ref[...], tB_ref[...], eb, cdt).T
+    t_eT = _gather_windows(o, tA_ref[...], tB_ref[...], eb, cdt, passes).T
     wexpT = wexp_ref[...].astype(cdt).T
     d2 = len(dim_to_irr)
     rows = []
@@ -1084,7 +1102,8 @@ def _gather_unweight_sh_kernel(
     out_ref[...] = jnp.concatenate(rows, axis=0).astype(out_ref.dtype)
 
 
-def gather_unweight_sh_call(tA, tB, wexp, offs_p, win, *, dim_to_irr, U, eb):
+def gather_unweight_sh_call(tA, tB, wexp, offs_p, win, *, dim_to_irr, U, eb,
+                            passes=None):
     """→ dsh [Ep, d2]."""
     Ep = wexp.shape[0]
     nb = Ep // eb
@@ -1102,7 +1121,8 @@ def gather_unweight_sh_call(tA, tB, wexp, offs_p, win, *, dim_to_irr, U, eb):
         out_specs=pl.BlockSpec((d2, eb), lambda b, w_: (0, b), memory_space=pltpu.VMEM),
     )
     kern = functools.partial(
-        _gather_unweight_sh_kernel, dim_to_irr=tuple(dim_to_irr), U=U, eb=eb
+        _gather_unweight_sh_kernel, dim_to_irr=tuple(dim_to_irr), U=U, eb=eb,
+        passes=passes,
     )
     out = pl.pallas_call(
         kern,
@@ -1115,7 +1135,7 @@ def gather_unweight_sh_call(tA, tB, wexp, offs_p, win, *, dim_to_irr, U, eb):
 
 def _bwd_fused_kernel(
     win_ref, offs_ref, x_ref, g_ref, envA_ref, envB_ref, w_ref,
-    *refs, entries, dims, U, eb, n_paths, with_dw
+    *refs, entries, dims, U, eb, n_paths, with_dw, passes=None
 ):
     """One-pass backward: dx, denv (two windows), dw — sharing the g/x loads
     and the env window gather that three separate kernels would each redo
@@ -1132,7 +1152,7 @@ def _bwd_fused_kernel(
     d1, d2, d3 = dims
     o = offs_ref[0, :]
     dtype = compute_dtype(x_ref.dtype, g_ref.dtype, envA_ref.dtype)
-    env_eT = _gather_windows(o, envA_ref[...], envB_ref[...], eb, dtype).T
+    env_eT = _gather_windows(o, envA_ref[...], envB_ref[...], eb, dtype, passes).T
     xT = x_ref[...].astype(dtype).T
     gT = g_ref[...].astype(dtype).T
     wT = w_ref[...].astype(dtype).T
@@ -1168,7 +1188,7 @@ def _bwd_fused_kernel(
             dw_acc[p] = red if dw_acc[p] is None else dw_acc[p] + red
 
     vals = _cat_T(denv_acc, U, eb, dtype).T  # [eb, d2*U]
-    sa, sb = _scatter_windows(o, vals, eb, dtype)
+    sa, sb = _scatter_windows(o, vals, eb, dtype, passes)
     first = _first_visit(win_ref)
 
     @pl.when(first)
@@ -1191,7 +1211,7 @@ def _bwd_fused_kernel(
 
 
 def bwd_fused_call(x, g, envA, envB, w, offs_p, win, *, entries, dims, U, eb,
-                   n_rank_rows, with_dw=True):
+                   n_rank_rows, with_dw=True, passes=None):
     """x [Ep,d1U], g [Ep,d3U], env windows, w [P,U]
     → (dx [Ep,d1U], dA, dB [Nr,d2U], dw [P,U] | None).
 
@@ -1231,7 +1251,7 @@ def bwd_fused_call(x, g, envA, envB, w, offs_p, win, *, entries, dims, U, eb,
     )
     kern = functools.partial(
         _bwd_fused_kernel, entries=tuple(entries), dims=dims, U=U, eb=eb,
-        n_paths=n_paths, with_dw=with_dw,
+        n_paths=n_paths, with_dw=with_dw, passes=passes,
     )
     outs = pl.pallas_call(
         kern,
@@ -1246,20 +1266,33 @@ def bwd_fused_call(x, g, envA, envB, w, offs_p, win, *, entries, dims, U, eb,
 
 
 def _bwd_fused_raw_kernel(
-    win_ref, offs_ref, x_ref, g_ref, Aw_ref, Aw1_ref, Bw_ref, Bw1_ref, w_ref,
-    dx_ref, dA_ref, dB_ref, *, entries, dims, U, eb, nb
+    win_ref, offs_ref, x_ref, g_ref, *refs, entries, dims, U, eb, nb,
+    passes=None, with_gts=False
 ):
     """Raw-window twin of :func:`_bwd_fused_kernel` with ``with_dw=False``
-    semantics (inference scope): env arrives as the uncombined (A, B) pair."""
+    semantics (inference scope): env arrives as the uncombined (A, B) pair.
+    ``with_gts``: an extra [eb, U] cotangent of the SPLIT scalar output is
+    folded into the leading-0e rows of g in VMEM (split_scalars fwd)."""
+    if with_gts:
+        gts_ref, Aw_ref, Aw1_ref, Bw_ref, Bw1_ref, w_ref = refs[:6]
+        dx_ref, dA_ref, dB_ref = refs[6:]
+    else:
+        gts_ref = None
+        Aw_ref, Aw1_ref, Bw_ref, Bw1_ref, w_ref = refs[:5]
+        dx_ref, dA_ref, dB_ref = refs[5:]
     d1, d2, d3 = dims
     o = offs_ref[0, :]
     dtype = compute_dtype(x_ref.dtype, g_ref.dtype, Aw_ref.dtype)
     envW, envW1 = _combine_window_tiles(
         win_ref, nb, Aw_ref[...], Aw1_ref[...], Bw_ref[...], Bw1_ref[...], dtype
     )
-    env_eT = _gather_windows(o, envW, envW1, eb, dtype).T
+    env_eT = _gather_windows(o, envW, envW1, eb, dtype, passes).T
     xT = x_ref[...].astype(dtype).T
     gT = g_ref[...].astype(dtype).T
+    if gts_ref is not None:
+        gT = jnp.concatenate(
+            [gT[:U, :] + gts_ref[...].astype(dtype).T, gT[U:, :]], axis=0
+        )
     wT = w_ref[...].astype(dtype).T
 
     dx_acc = [None] * d1
@@ -1284,7 +1317,7 @@ def _bwd_fused_raw_kernel(
         denv_acc[j] = contrib if denv_acc[j] is None else denv_acc[j] + contrib
 
     vals = _cat_T(denv_acc, U, eb, dtype).T
-    sa, sb = _scatter_windows(o, vals, eb, dtype)
+    sa, sb = _scatter_windows(o, vals, eb, dtype, passes)
     first = _first_visit(win_ref)
 
     @pl.when(first)
@@ -1297,21 +1330,31 @@ def _bwd_fused_raw_kernel(
 
 
 def bwd_fused_raw_call(x, g, eA, eB, w, offs_p, win, *, entries, dims, U, eb,
-                       n_rank_rows):
-    """→ (dx [Ep,d1U], dA, dB [Nr,d2U]) from the uncombined env pair."""
+                       n_rank_rows, passes=None, gts=None):
+    """→ (dx [Ep,d1U], dA, dB [Nr,d2U]) from the uncombined env pair.
+    ``gts`` [Ep, U]: cotangent of the split scalar output, folded into g's
+    leading-0e columns in VMEM."""
     Ep = x.shape[0]
     nb = Ep // eb
     d1, d2, d3 = dims
+    in_specs = [
+        pl.BlockSpec((8, eb), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((eb, d1 * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((eb, d3 * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [win, offs_p, x, g]
+    if gts is not None:
+        in_specs.append(
+            pl.BlockSpec((eb, U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(gts)
+    in_specs.extend(_env_pair_specs(d2 * U, eb))
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    args.extend([eA, eA, eB, eB, w])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((8, eb), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((eb, d1 * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((eb, d3 * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
-            *_env_pair_specs(d2 * U, eb),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((eb, d1 * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
@@ -1319,7 +1362,8 @@ def bwd_fused_raw_call(x, g, eA, eB, w, offs_p, win, *, entries, dims, U, eb,
         ],
     )
     kern = functools.partial(
-        _bwd_fused_raw_kernel, entries=tuple(entries), dims=dims, U=U, eb=eb, nb=nb
+        _bwd_fused_raw_kernel, entries=tuple(entries), dims=dims, U=U, eb=eb,
+        nb=nb, passes=passes, with_gts=gts is not None,
     )
     cdt = compute_dtype(x.dtype, g.dtype)
     env_shape = jax.ShapeDtypeStruct((n_rank_rows, d2 * U), cdt)
@@ -1332,19 +1376,19 @@ def bwd_fused_raw_call(x, g, eA, eB, w, offs_p, win, *, entries, dims, U, eb,
         ],
         grid_spec=grid_spec,
         interpret=INTERPRET,
-    )(win, offs_p, x, g, eA, eA, eB, eB, w)
+    )(*args)
 
 
 def _unweight_both_raw_kernel(
     win_ref, offs_ref, tAw_ref, tAw1_ref, tBw_ref, tBw1_ref, sh_ref, wexp_ref,
-    dsh_ref, dwexp_ref, *, dim_to_irr, U, eb, nb
+    dsh_ref, dwexp_ref, *, dim_to_irr, U, eb, nb, passes=None
 ):
     o = offs_ref[0, :]
     dtype = compute_dtype(tAw_ref.dtype, wexp_ref.dtype, sh_ref.dtype)
     tW, tW1 = _combine_window_tiles(
         win_ref, nb, tAw_ref[...], tAw1_ref[...], tBw_ref[...], tBw1_ref[...], dtype
     )
-    t_eT = _gather_windows(o, tW, tW1, eb, dtype).T
+    t_eT = _gather_windows(o, tW, tW1, eb, dtype, passes).T
     wexpT = wexp_ref[...].astype(dtype).T
     shT = sh_ref[...].astype(dtype)  # operand pre-transposed [d2, eb]
     d2 = len(dim_to_irr)
@@ -1363,7 +1407,8 @@ def _unweight_both_raw_kernel(
     dwexp_ref[...] = jnp.concatenate(acc, axis=0).T.astype(dwexp_ref.dtype)
 
 
-def unweight_both_raw_call(tA, tB, sh, wexp, offs_p, win, *, dim_to_irr, U, eb):
+def unweight_both_raw_call(tA, tB, sh, wexp, offs_p, win, *, dim_to_irr, U,
+                           eb, passes=None):
     """→ (dsh [Ep, d2], dwexp [Ep, n_irr*U]) from the uncombined denv pair."""
     Ep = sh.shape[0]
     nb = Ep // eb
@@ -1385,7 +1430,8 @@ def unweight_both_raw_call(tA, tB, sh, wexp, offs_p, win, *, dim_to_irr, U, eb):
         ],
     )
     kern = functools.partial(
-        _unweight_both_raw_kernel, dim_to_irr=tuple(dim_to_irr), U=U, eb=eb, nb=nb
+        _unweight_both_raw_kernel, dim_to_irr=tuple(dim_to_irr), U=U, eb=eb,
+        nb=nb, passes=passes,
     )
     dshT, dwexp = pl.pallas_call(
         kern,
@@ -1401,12 +1447,12 @@ def unweight_both_raw_call(tA, tB, sh, wexp, offs_p, win, *, dim_to_irr, U, eb):
 
 def _unweight_both_kernel(
     win_ref, offs_ref, tA_ref, tB_ref, sh_ref, wexp_ref, dsh_ref, dwexp_ref,
-    *, dim_to_irr, U, eb
+    *, dim_to_irr, U, eb, passes=None
 ):
     """dsh and dwexp in one pass (shared denv-window gather)."""
     o = offs_ref[0, :]
     dtype = compute_dtype(tA_ref.dtype, wexp_ref.dtype, sh_ref.dtype)
-    t_eT = _gather_windows(o, tA_ref[...], tB_ref[...], eb, dtype).T
+    t_eT = _gather_windows(o, tA_ref[...], tB_ref[...], eb, dtype, passes).T
     wexpT = wexp_ref[...].astype(dtype).T
     shT = sh_ref[...].astype(dtype)  # operand pre-transposed [d2, eb]
     d2 = len(dim_to_irr)
@@ -1425,7 +1471,8 @@ def _unweight_both_kernel(
     dwexp_ref[...] = jnp.concatenate(acc, axis=0).T.astype(dwexp_ref.dtype)
 
 
-def unweight_both_call(tA, tB, sh, wexp, offs_p, win, *, dim_to_irr, U, eb):
+def unweight_both_call(tA, tB, sh, wexp, offs_p, win, *, dim_to_irr, U, eb,
+                       passes=None):
     """→ (dsh [Ep, d2], dwexp [Ep, n_irr*U])."""
     Ep = sh.shape[0]
     nb = Ep // eb
@@ -1448,7 +1495,8 @@ def unweight_both_call(tA, tB, sh, wexp, offs_p, win, *, dim_to_irr, U, eb):
         ],
     )
     kern = functools.partial(
-        _unweight_both_kernel, dim_to_irr=tuple(dim_to_irr), U=U, eb=eb
+        _unweight_both_kernel, dim_to_irr=tuple(dim_to_irr), U=U, eb=eb,
+        passes=passes,
     )
     dshT, dwexp = pl.pallas_call(
         kern,
@@ -1463,11 +1511,11 @@ def unweight_both_call(tA, tB, sh, wexp, offs_p, win, *, dim_to_irr, U, eb):
 
 
 def _gather_unweight_w_kernel(
-    win_ref, offs_ref, tA_ref, tB_ref, sh_ref, out_ref, *, dim_to_irr, U, eb
+    win_ref, offs_ref, tA_ref, tB_ref, sh_ref, out_ref, *, dim_to_irr, U, eb, passes=None
 ):
     o = offs_ref[0, :]
     cdt = compute_dtype(tA_ref.dtype, sh_ref.dtype)
-    t_eT = _gather_windows(o, tA_ref[...], tB_ref[...], eb, cdt).T
+    t_eT = _gather_windows(o, tA_ref[...], tB_ref[...], eb, cdt, passes).T
     shT = sh_ref[...].astype(cdt)  # operand pre-transposed [d2, eb]
     n_irr = max(dim_to_irr) + 1
     acc = [None] * n_irr
@@ -1477,7 +1525,8 @@ def _gather_unweight_w_kernel(
     out_ref[...] = jnp.concatenate(acc, axis=0).T.astype(out_ref.dtype)
 
 
-def gather_unweight_w_call(tA, tB, sh, offs_p, win, *, dim_to_irr, U, eb, out_dtype=None):
+def gather_unweight_w_call(tA, tB, sh, offs_p, win, *, dim_to_irr, U, eb,
+                           out_dtype=None, passes=None):
     """→ dwexp [Ep, n_irr*U]. ``out_dtype``: the wexp STORAGE dtype (not
     inferable from the inputs in mixed-precision mode); defaults to the
     compute dtype."""
@@ -1498,7 +1547,8 @@ def gather_unweight_w_call(tA, tB, sh, offs_p, win, *, dim_to_irr, U, eb, out_dt
         out_specs=pl.BlockSpec((eb, n_irr * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
     )
     kern = functools.partial(
-        _gather_unweight_w_kernel, dim_to_irr=tuple(dim_to_irr), U=U, eb=eb
+        _gather_unweight_w_kernel, dim_to_irr=tuple(dim_to_irr), U=U, eb=eb,
+        passes=passes,
     )
     return pl.pallas_call(
         kern,
@@ -1520,36 +1570,61 @@ def gather_unweight_w_call(tA, tB, sh, offs_p, win, *, dim_to_irr, U, eb, out_dt
 # ---------------------------------------------------------------------------
 
 
-def _mlp_lat(piece_vals, w0_ref, w1_ref, piece_dims, n_hidden, dtype):
+def _split2_bf16(x):
+    """2-term bf16 decomposition of f32: x ≈ x0 + x1 (16 mantissa bits)."""
+    x0 = x.astype(jnp.bfloat16)
+    x1 = (x - x0.astype(jnp.float32)).astype(jnp.bfloat16)
+    return x0, x1
+
+
+def _mlp_dot(a, b, dtype, passes, dn=_DN_ROWS):
+    """a @ b with an explicit MXU pass-count policy.
+
+    passes >= 6: one HIGHEST dot (Mosaic lowers f32 HIGHEST to the exact
+    6-pass bf16-split algorithm). passes == 3: the jax "high" policy written
+    out explicitly — a0b0 + a0b1 + a1b0 over 2-term bf16 splits (~1e-7
+    relative error, half the MXU streaming cost). Explicit rather than
+    Precision.HIGH so interpret-mode tests see the same deterministic bf16
+    operand rounding the MXU applies. Non-f32 dtypes always take the exact
+    path (f64 tests; bf16 storage is cast up before calling)."""
+    if passes < 6 and dtype == jnp.float32:
+        a0, a1 = _split2_bf16(a.astype(dtype))
+        b0, b1 = _split2_bf16(b.astype(dtype))
+        out = jax.lax.dot_general(a0, b0, dn, preferred_element_type=jnp.float32)
+        out = out + jax.lax.dot_general(a0, b1, dn, preferred_element_type=jnp.float32)
+        out = out + jax.lax.dot_general(a1, b0, dn, preferred_element_type=jnp.float32)
+        return out
+    return jax.lax.dot_general(
+        a.astype(dtype), b.astype(dtype), dn,
+        precision=_HIGHEST, preferred_element_type=dtype,
+    )
+
+
+def _mlp_lat(piece_vals, w0_ref, w1_ref, piece_dims, n_hidden, dtype, passes=6):
     """lat = (silu(Σ pieces @ w0-blocks)) @ w1 (n_hidden=1) or the plain
-    linear Σ pieces @ w0-blocks (n_hidden=0). Matches ScalarMLP exactly:
-    bias-free, SiLU, HIGHEST-precision dots, per-piece block matmul in
-    declaration order. Returns (pre_act | None, lat)."""
+    linear Σ pieces @ w0-blocks (n_hidden=0). Matches ScalarMLP: bias-free,
+    SiLU, per-piece block matmul in declaration order; dot precision policy
+    via ``passes`` (6 = exact-f32 HIGHEST — reference allow_tf32=false
+    parity; 3 = the "high" bf16 split, see _mlp_dot). Returns
+    (pre_act | None, lat)."""
     h = None
     off = 0
     w0 = w0_ref[...].astype(dtype)
     for p, d in zip(piece_vals, piece_dims):
-        t = jax.lax.dot_general(
-            p.astype(dtype), w0[off : off + d, :],
-            (((1,), (0,)), ((), ())),
-            precision=_HIGHEST, preferred_element_type=dtype,
-        )
+        t = _mlp_dot(p.astype(dtype), w0[off : off + d, :], dtype, passes)
         h = t if h is None else h + t
         off += d
     if n_hidden == 0:
         return None, h
     pre = h
     h = jax.nn.silu(pre)
-    lat = jax.lax.dot_general(
-        h, w1_ref[...].astype(dtype), (((1,), (0,)), ((), ())),
-        precision=_HIGHEST, preferred_element_type=dtype,
-    )
+    lat = _mlp_dot(h, w1_ref[...].astype(dtype), dtype, passes)
     return pre, lat
 
 
 def _latent_env_scatter_kernel(
     win_ref, offs_ref, *refs, piece_dims, dim_to_irr, U, eb, S, n_hidden,
-    wexp_dtype
+    wexp_dtype, mlp_passes, passes=None
 ):
     np_ = len(piece_dims)
     piece_refs = refs[:np_]
@@ -1560,7 +1635,8 @@ def _latent_env_scatter_kernel(
     o = offs_ref[0, :]
     cdt = compute_dtype(*(r.dtype for r in piece_refs))
     _, lat = _mlp_lat(
-        [r[...] for r in piece_refs], w0_ref, w1_ref, piece_dims, n_hidden, cdt
+        [r[...] for r in piece_refs], w0_ref, w1_ref, piece_dims, n_hidden,
+        cdt, mlp_passes,
     )
     lat_ref[...] = lat[:, :S].astype(lat_ref.dtype)
     wexp = lat[:, S:]
@@ -1575,7 +1651,7 @@ def _latent_env_scatter_kernel(
         irr = dim_to_irr[j]
         rows.append(shT[j : j + 1, :] * wexpT[irr * U : (irr + 1) * U, :])
     vals = jnp.concatenate(rows, axis=0).T  # [eb, d2*U]
-    sa, sb = _scatter_windows(o, vals, eb, cdt)
+    sa, sb = _scatter_windows(o, vals, eb, cdt, passes)
     first = _first_visit(win_ref)
 
     @pl.when(first)
@@ -1589,7 +1665,7 @@ def _latent_env_scatter_kernel(
 
 def latent_env_scatter_call(
     pieces, sh, w0, w1, offs_p, win, *, dim_to_irr, U, eb, n_rank_rows, S,
-    n_hidden, wexp_dtype=None
+    n_hidden, wexp_dtype=None, mlp_passes=6, passes=None
 ):
     """pieces (tuple of [Ep, d_i]), sh [Ep, d2], w0 [Σd_i, H], w1 [H, S+nI*U]
     (or w1=None with n_hidden=0 and w0 [Σd_i, S+nI*U])
@@ -1628,7 +1704,7 @@ def latent_env_scatter_call(
     kern = functools.partial(
         _latent_env_scatter_kernel, piece_dims=piece_dims,
         dim_to_irr=tuple(dim_to_irr), U=U, eb=eb, S=S, n_hidden=n_hidden,
-        wexp_dtype=wexp_dtype,
+        wexp_dtype=wexp_dtype, mlp_passes=mlp_passes, passes=passes,
     )
     return pl.pallas_call(
         kern,
@@ -1639,7 +1715,8 @@ def latent_env_scatter_call(
 
 
 def _readout_sum_kernel(
-    win_ref, offs_ref, *refs, piece_dims, eb, n_hidden
+    win_ref, offs_ref, *refs, piece_dims, eb, n_hidden, mlp_passes,
+    passes=None
 ):
     """Readout MLP + per-atom energy scatter in one pass: the hidden
     activation [E, H] and the per-edge energy [E, 1] never exist in HBM
@@ -1653,9 +1730,10 @@ def _readout_sum_kernel(
     o = offs_ref[0, :]
     cdt = compute_dtype(*(r.dtype for r in piece_refs))
     _, e = _mlp_lat(
-        [r[...] for r in piece_refs], w0_ref, w1_ref, piece_dims, n_hidden, cdt
+        [r[...] for r in piece_refs], w0_ref, w1_ref, piece_dims, n_hidden,
+        cdt, mlp_passes,
     )  # [eb, 1]
-    sa, sb = _scatter_windows(o, e, eb, cdt)
+    sa, sb = _scatter_windows(o, e, eb, cdt, passes)
     first = _first_visit(win_ref)
 
     @pl.when(first)
@@ -1667,7 +1745,8 @@ def _readout_sum_kernel(
     outB_ref[...] = outB_ref[...] + sb.astype(outB_ref.dtype)
 
 
-def readout_sum_call(pieces, w0, w1, offs_p, win, *, eb, n_rank_rows, n_hidden):
+def readout_sum_call(pieces, w0, w1, offs_p, win, *, eb, n_rank_rows,
+                     n_hidden, mlp_passes=6, passes=None):
     """pieces (tuple of [Ep, S_i]), w0 [ΣS_i, H], w1 [H, 1] (or w1=None,
     n_hidden=0, w0 [ΣS_i, 1]) → (eA, eB) per-atom energy window partials
     [Nr, 1]; combine + slice [:n_atoms] outside."""
@@ -1694,7 +1773,8 @@ def readout_sum_call(pieces, w0, w1, offs_p, win, *, eb, n_rank_rows, n_hidden):
         num_scalar_prefetch=1, grid=(nb,), in_specs=in_specs, out_specs=out_specs
     )
     kern = functools.partial(
-        _readout_sum_kernel, piece_dims=piece_dims, eb=eb, n_hidden=n_hidden
+        _readout_sum_kernel, piece_dims=piece_dims, eb=eb, n_hidden=n_hidden,
+        mlp_passes=mlp_passes, passes=passes,
     )
     return pl.pallas_call(
         kern,
@@ -1705,7 +1785,8 @@ def readout_sum_call(pieces, w0, w1, offs_p, win, *, eb, n_rank_rows, n_hidden):
 
 
 def _readout_bwd_kernel(
-    win_ref, offs_ref, *refs, piece_dims, eb, n_hidden
+    win_ref, offs_ref, *refs, piece_dims, eb, n_hidden, mlp_passes,
+    passes=None
 ):
     """Backward of the fused readout: gathers the per-atom energy cotangent
     to edges, recomputes the MLP forward, and backpropagates to the piece
@@ -1722,13 +1803,12 @@ def _readout_bwd_kernel(
     o = offs_ref[0, :]
     cdt = compute_dtype(*(r.dtype for r in piece_refs))
     piece_vals = [r[...] for r in piece_refs]
-    pre, _ = _mlp_lat(piece_vals, w0_ref, w1_ref, piece_dims, n_hidden, cdt)
-    e_ct = _gather_windows(o, yA_ref[...], yB_ref[...], eb, cdt)  # [eb, 1]
+    pre, _ = _mlp_lat(piece_vals, w0_ref, w1_ref, piece_dims, n_hidden, cdt,
+                      mlp_passes)
+    e_ct = _gather_windows(o, yA_ref[...], yB_ref[...], eb, cdt, passes)  # [eb, 1]
+    _dn_t = (((1,), (1,)), ((), ()))
     if n_hidden:
-        dh = jax.lax.dot_general(
-            e_ct, w1_ref[...].astype(cdt), (((1,), (1,)), ((), ())),
-            precision=_HIGHEST, preferred_element_type=cdt,
-        )
+        dh = _mlp_dot(e_ct, w1_ref[...].astype(cdt), cdt, mlp_passes, dn=_dn_t)
         sig = jax.nn.sigmoid(pre)
         dh = dh * (sig * (1.0 + pre * (1.0 - sig)))
     else:
@@ -1736,15 +1816,13 @@ def _readout_bwd_kernel(
     w0 = w0_ref[...].astype(cdt)
     off = 0
     for r, d in zip(dpiece_refs, piece_dims):
-        dp = jax.lax.dot_general(
-            dh, w0[off : off + d, :], (((1,), (1,)), ((), ())),
-            precision=_HIGHEST, preferred_element_type=cdt,
-        )
+        dp = _mlp_dot(dh, w0[off : off + d, :], cdt, mlp_passes, dn=_dn_t)
         r[...] = dp.astype(r.dtype)
         off += d
 
 
-def readout_bwd_call(pieces, w0, w1, y_ct, offs_p, win, *, eb, n_hidden):
+def readout_bwd_call(pieces, w0, w1, y_ct, offs_p, win, *, eb, n_hidden,
+                     mlp_passes=6, passes=None):
     """y_ct [Nr, 1] per-rank-row cotangent → dpieces tuple [Ep, S_i]."""
     Ep = pieces[0].shape[0]
     nb = Ep // eb
@@ -1778,7 +1856,8 @@ def readout_bwd_call(pieces, w0, w1, y_ct, offs_p, win, *, eb, n_hidden):
         num_scalar_prefetch=1, grid=(nb,), in_specs=in_specs, out_specs=out_specs
     )
     kern = functools.partial(
-        _readout_bwd_kernel, piece_dims=piece_dims, eb=eb, n_hidden=n_hidden
+        _readout_bwd_kernel, piece_dims=piece_dims, eb=eb, n_hidden=n_hidden,
+        mlp_passes=mlp_passes, passes=passes,
     )
     outs = pl.pallas_call(
         kern,
@@ -1791,7 +1870,7 @@ def readout_bwd_call(pieces, w0, w1, y_ct, offs_p, win, *, eb, n_hidden):
 
 def _latent_env_bwd_kernel(
     win_ref, offs_ref, *refs, piece_dims, dim_to_irr, U, eb, S, n_hidden,
-    wexp_dtype, nb
+    wexp_dtype, nb, mlp_passes, passes=None
 ):
     """Backward of the mega kernel: recomputes the MLP forward from the saved
     inputs (VMEM-resident, no stored activations), unweights the raw denv
@@ -1812,14 +1891,15 @@ def _latent_env_bwd_kernel(
     o = offs_ref[0, :]
     cdt = compute_dtype(*(r.dtype for r in piece_refs))
     piece_vals = [r[...] for r in piece_refs]
-    pre, lat = _mlp_lat(piece_vals, w0_ref, w1_ref, piece_dims, n_hidden, cdt)
+    pre, lat = _mlp_lat(piece_vals, w0_ref, w1_ref, piece_dims, n_hidden, cdt,
+                        mlp_passes)
     wexp = lat[:, S:]
     if wexp_dtype is not None:
         wexp = wexp.astype(wexp_dtype).astype(cdt)
     tW, tW1 = _combine_window_tiles(
         win_ref, nb, tAw_ref[...], tAw1_ref[...], tBw_ref[...], tBw1_ref[...], cdt
     )
-    t_eT = _gather_windows(o, tW, tW1, eb, cdt).T
+    t_eT = _gather_windows(o, tW, tW1, eb, cdt, passes).T
     shT = sh_ref[...].astype(cdt)
     wexpT = wexp.T
     d2 = len(dim_to_irr)
@@ -1837,11 +1917,9 @@ def _latent_env_bwd_kernel(
     dsh_ref[...] = jnp.concatenate(dsh_rows, axis=0).astype(dsh_ref.dtype)
     dwexp = jnp.concatenate(acc, axis=0).T  # [eb, n_irr*U]
     dlat = jnp.concatenate([glat_ref[...].astype(cdt), dwexp], axis=1)
+    _dn_t = (((1,), (1,)), ((), ()))
     if n_hidden:
-        dh = jax.lax.dot_general(
-            dlat, w1_ref[...].astype(cdt), (((1,), (1,)), ((), ())),
-            precision=_HIGHEST, preferred_element_type=cdt,
-        )
+        dh = _mlp_dot(dlat, w1_ref[...].astype(cdt), cdt, mlp_passes, dn=_dn_t)
         # d silu(x) = sigmoid(x) * (1 + x * (1 - sigmoid(x)))
         sig = jax.nn.sigmoid(pre)
         dh = dh * (sig * (1.0 + pre * (1.0 - sig)))
@@ -1850,17 +1928,14 @@ def _latent_env_bwd_kernel(
     w0 = w0_ref[...].astype(cdt)
     off = 0
     for r, d in zip(dpiece_refs, piece_dims):
-        dp = jax.lax.dot_general(
-            dh, w0[off : off + d, :], (((1,), (1,)), ((), ())),
-            precision=_HIGHEST, preferred_element_type=cdt,
-        )
+        dp = _mlp_dot(dh, w0[off : off + d, :], cdt, mlp_passes, dn=_dn_t)
         r[...] = dp.astype(r.dtype)
         off += d
 
 
 def latent_env_bwd_call(
     pieces, sh, w0, w1, dA, dB, g_lat, offs_p, win, *, dim_to_irr, U, eb, S,
-    n_hidden, wexp_dtype=None
+    n_hidden, wexp_dtype=None, mlp_passes=6, passes=None
 ):
     """→ (dsh [Ep, d2], dpieces tuple) from the raw denv pair + lat-scalar
     cotangent."""
@@ -1903,7 +1978,7 @@ def latent_env_bwd_call(
     kern = functools.partial(
         _latent_env_bwd_kernel, piece_dims=piece_dims,
         dim_to_irr=tuple(dim_to_irr), U=U, eb=eb, S=S, n_hidden=n_hidden,
-        wexp_dtype=wexp_dtype, nb=nb,
+        wexp_dtype=wexp_dtype, nb=nb, mlp_passes=mlp_passes, passes=passes,
     )
     outs = pl.pallas_call(
         kern,

@@ -32,6 +32,7 @@ HEADLINE_ONEHOT_PASSES = int(os.environ.get("ALLEGRO_ONEHOT_PASSES", "2"))
 
 from allegro_tpu.bench import (
     run_benchmark,
+    run_kernel_smoke,
     run_lmax3_bench,
     run_parity,
     run_train_bench,
@@ -72,7 +73,19 @@ if __name__ == "__main__":
     verbose = "-v" in sys.argv
     n = int(os.environ.get("BENCH_N_ATOMS", "4096"))
     with chip_lock(timeout=7200):  # serialize vs real-chip tests / other runs
+        # on-silicon kernel smoke tier FIRST: Mosaic-compiles the whole fused
+        # family at flagship block shapes and checks force parity vs the
+        # einsum backend on this chip — a kernel regression fails loudly here
+        # instead of silently downgrading the headline via the env fallbacks
+        smoke = None
+        try:
+            run_kernel_smoke(verbose=verbose)
+            smoke = "ok"
+        except Exception as e:
+            smoke = f"FAILED: {str(e)[:200]}"
+            sys.stderr.write(f"KERNEL SMOKE FAILED: {e!r}\n")
         result = _benchmark_with_fallback(n, verbose)
+        result["extra"]["kernel_smoke"] = smoke
         if os.environ.get("BENCH_SKIP_EXTRA", "0") != "1":
             try:
                 # the BASELINE.md headline metric is defined AT 100k atoms —

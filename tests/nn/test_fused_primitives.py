@@ -164,17 +164,28 @@ def test_jvp_matches(setup):
     np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), atol=1e-9)
 
 
-def test_feature_major_gather_tp_matches(setup):
-    """The feature-major I/O prototype (gather_tp_fm_call) is bit-identical
-    to the edge-major gather_tp_call — the layout experiment must be a pure
-    re-layout (scripts/probe_fm.py races them on silicon)."""
-    x, sh, wexp, w = setup["x"], setup["sh"], setup["wexp"], setup["w"]
+def test_onehot_passes_kwarg_controls_split(setup):
+    """Per-call ``passes`` beats the module default: the reduced 2-pass
+    gather must diverge from the exact 3-pass result, and an explicit
+    passes=3 must be exact even when the process default says 2 (the
+    serialized ``onehot_passes`` model field rides this kwarg)."""
+    f32 = lambda a: a.astype(jnp.float32)  # the split only applies to f32
+    x, sh, wexp, w = map(f32, (setup["x"], setup["sh"], setup["wexp"], setup["w"]))
     kw, ekw = setup["kw"], setup["ekw"]
     offs, win = setup["offs"], setup["win"]
     import allegro_tpu.ops.fused_tp as ft
 
     eA, eB = ft.env_scatter_call(sh, wexp, offs, win, **ekw)
     env = ft.combine_scatter_outputs(eA, eB, win, EB)
-    want = ft.gather_tp_call(x, env, env, w, offs, win, **kw)
-    got_T = ft.gather_tp_fm_call(x.T, env.T, env.T, w, offs, win, **kw)
-    np.testing.assert_allclose(np.asarray(got_T.T), np.asarray(want), atol=0)
+    exact = ft.gather_tp_call(x, env, env, w, offs, win, passes=3, **kw)
+    reduced = ft.gather_tp_call(x, env, env, w, offs, win, passes=2, **kw)
+    old = ft.ONEHOT_PASSES
+    ft.ONEHOT_PASSES = 2
+    try:
+        pinned = ft.gather_tp_call(x, env, env, w, offs, win, passes=3, **kw)
+    finally:
+        ft.ONEHOT_PASSES = old
+    np.testing.assert_allclose(np.asarray(pinned), np.asarray(exact), atol=0)
+    dev = float(np.abs(np.asarray(reduced) - np.asarray(exact)).max())
+    scale = float(np.abs(np.asarray(exact)).max())
+    assert 0 < dev / scale < 1e-4, f"2-pass rel dev {dev / scale:.2e}"
