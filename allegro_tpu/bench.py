@@ -66,7 +66,7 @@ def _crystal_frame(n_atoms, r_max, seed=0):
 
 
 def _flagship_model(avg_num_neighbors, backend, r_max=4.0, remat=False,
-                    tensor_dtype=None):
+                    tensor_dtype=None, precision=None):
     from allegro_tpu.model import AllegroModel
 
     if tensor_dtype is None:
@@ -74,8 +74,10 @@ def _flagship_model(avg_num_neighbors, backend, r_max=4.0, remat=False,
     if tensor_dtype in ("none", "float32"):
         tensor_dtype = None
     extra = {}
-    if os.environ.get("BENCH_PRECISION"):  # e.g. "high": 3-pass bf16 matmuls
-        extra["precision"] = os.environ["BENCH_PRECISION"]
+    if precision is None:  # e.g. "high": 3-pass bf16 split for the dots
+        precision = os.environ.get("BENCH_PRECISION") or None
+    if precision:
+        extra["precision"] = precision
     return AllegroModel(
         **_FLAGSHIP,
         **extra,
@@ -328,6 +330,7 @@ def run_benchmark(n_atoms=4096, r_max=4.0, iters=None, warmup=3, verbose=False, 
         else None,
         "timing_iters": int(iters),
         "onehot_passes": _ft.ONEHOT_PASSES,
+        "precision": (model.builder_kwargs or {}).get("precision") or "highest",
         "mega": bool(mega_on),
         "fused_readout": bool(readout_on),
         "embed_fused_l0": bool(embed_l0_on),
@@ -413,6 +416,63 @@ def run_train_bench(batch_size=16, steps=100, verbose=False):
     return batch_size / dt
 
 
+def run_train_bench_1k(batch_size=4, n_atoms=1000, steps=20, verbose=False):
+    """Train samples/sec at PRODUCTION system size (VERDICT r3 #7): periodic
+    ~1k-atom cells, batch 4 (~100k edges/batch), energy+force loss through
+    the trainable `fused` primitive backend (second-order AD through forces
+    — the reference's cuEq-accelerated training role,
+    ``docs/guide/accelerations.rst``). The tutorial-parity number
+    (``run_train_bench``) stays: 21-atom molecular frames, batch 16."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from allegro_tpu.data import batch_frames, keys, to_jax
+
+    frames = []
+    for s in range(batch_size):
+        f, na = _crystal_frame(n_atoms, 4.0, seed=200 + s)
+        frames.append(f)
+    batch = to_jax(batch_frames(frames, n_frames=batch_size), dtype=np.float32)
+    n_edges = int(np.asarray(batch[keys.EDGE_MASK]).sum())
+    model = _flagship_model(n_edges / (na * batch_size), backend="fused", r_max=4.0)
+    params = model.init(0, batch)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    f_true = jnp.zeros_like(batch[keys.POSITIONS])
+    e_true = jnp.zeros((batch_size,), jnp.float32)
+
+    @jax.jit
+    def step(params, opt_state, _k):
+        def loss_fn(p):
+            out = model.apply_with_derivatives(params=p, data=batch)
+            fmask = batch[keys.NODE_MASK].astype(jnp.float32)[:, None]
+            floss = jnp.sum(fmask * (out[keys.FORCES] - f_true) ** 2) / jnp.sum(fmask) / 3
+            eloss = jnp.mean((out[keys.TOTAL_ENERGY].reshape(-1) - e_true) ** 2)
+            return floss + eloss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    t0 = time.time()
+    params, opt_state, loss = step(params, opt_state, 0)
+    _ = float(loss)
+    if verbose:
+        print(
+            f"train-1k compile+first step: {time.time() - t0:.1f}s "
+            f"({n_edges} edges/batch)",
+            file=sys.stderr,
+        )
+    params, opt_state, loss = step(params, opt_state, 1)
+    _ = float(loss)
+    t0 = time.time()
+    for k in range(steps):
+        params, opt_state, loss = step(params, opt_state, k)
+    _ = float(loss)
+    return batch_size / ((time.time() - t0) / steps)
+
+
 def run_lmax3_bench(n_atoms=4096, r_max=4.0, iters=40, warmup=2, verbose=False):
     """µs/atom for the l_max=3 full-parity deep stack — BASELINE.json config 3
     ("l_max=3 deep stack with full parity channels"), the O(l_max^6) stress
@@ -426,6 +486,12 @@ def run_lmax3_bench(n_atoms=4096, r_max=4.0, iters=40, warmup=2, verbose=False):
     frame, n_atoms = _crystal_frame(n_atoms, r_max)
     n_edges = frame[keys.EDGE_INDEX].shape[1]
     batch = to_jax(batch_frames([frame], n_frames=1), dtype=np.float32)
+    # same memory policy as the headline bench: past the single-chip f32
+    # ceiling, per-layer remat + whole-energy checkpoint + bf16 tensor track
+    big = n_atoms > 20000  # l_max=3 tensor track is ~2.3x wider than l_max=2
+    extra = {}
+    if os.environ.get("BENCH_PRECISION"):
+        extra["precision"] = os.environ["BENCH_PRECISION"]
     model = AllegroModel(
         r_max=r_max,
         type_names=["A", "B", "C"],
@@ -439,6 +505,10 @@ def run_lmax3_bench(n_atoms=4096, r_max=4.0, iters=40, warmup=2, verbose=False):
         avg_num_neighbors=n_edges / n_atoms,
         model_dtype="float32",
         tp_kernel_backend=os.environ.get("BENCH_BACKEND", "fused_infer"),
+        remat=big,
+        checkpoint_energy=big,
+        tensor_dtype="bfloat16" if big else None,
+        **extra,
     )
     batch = model.precompute_statics(batch)
     params = model.init(0, batch)
@@ -542,23 +612,37 @@ def run_kernel_smoke(n_atoms=512, verbose=False):
     frame, n_atoms = _crystal_frame(n_atoms, 4.0, seed=3)
     n_edges = frame[keys.EDGE_INDEX].shape[1]
     batch = to_jax(batch_frames([frame], n_frames=1), dtype=np.float32)
-    fused = _flagship_model(n_edges / n_atoms, "fused_infer", tensor_dtype="none")
-    oracle = _flagship_model(n_edges / n_atoms, "einsum", tensor_dtype="none")
-    b_f = fused.precompute_statics(batch)
-    params = fused.init(0, b_f)
-    out_f = jax.jit(lambda p, b: fused.apply_with_derivatives(p, b))(params, b_f)
-    out_o = jax.jit(lambda p, b: oracle.apply_with_derivatives(p, b))(params, batch)
+    # both models pinned to the fully EXACT policy (HIGHEST dots, 3-pass
+    # one-hot) regardless of the bench's headline policy: the smoke detects
+    # Mosaic miscompiles — the reduced-policy accuracy is validated by the
+    # parity harness separately, and mixing policies here would blur the
+    # pass/fail line
+    from allegro_tpu.ops import fused_tp as _ft
+
+    old_passes = _ft.ONEHOT_PASSES
+    _ft.set_onehot_passes(3)
+    try:
+        fused = _flagship_model(
+            n_edges / n_atoms, "fused_infer", tensor_dtype="none",
+            precision="highest",
+        )
+        oracle = _flagship_model(
+            n_edges / n_atoms, "einsum", tensor_dtype="none", precision="highest"
+        )
+        b_f = fused.precompute_statics(batch)
+        params = fused.init(0, b_f)
+        out_f = jax.jit(lambda p, b: fused.apply_with_derivatives(p, b))(params, b_f)
+        out_o = jax.jit(lambda p, b: oracle.apply_with_derivatives(p, b))(params, batch)
+    finally:
+        _ft.ONEHOT_PASSES = old_passes
     f_f = np.asarray(out_f[keys.FORCES], np.float64)[:n_atoms]
     f_o = np.asarray(out_o[keys.FORCES], np.float64)[:n_atoms]
     scale = max(float(np.abs(f_o).max()), 1e-6)
     rel = float(np.abs(f_f - f_o).max()) / scale
-    # tolerance covers the reduced one-hot policy when active (7.6e-6 rel on
-    # features) with slack; a Mosaic regression shows up as compile failure
-    # or garbage values, both far outside this
-    assert rel < 1e-4, f"fused_infer vs einsum force mismatch: rel {rel:.2e}"
-    e_f = float(np.asarray(out_f[keys.TOTAL_ENERGY]).sum())
-    e_o = float(np.asarray(out_o[keys.TOTAL_ENERGY]).sum())
-    assert abs(e_f - e_o) / max(abs(e_o), 1e-6) < 1e-4, (e_f, e_o)
+    assert rel < 1e-5, f"fused_infer vs einsum force mismatch: rel {rel:.2e}"
+    ea_f = np.asarray(out_f[keys.PER_ATOM_ENERGY], np.float64)[:n_atoms].ravel()
+    ea_o = np.asarray(out_o[keys.PER_ATOM_ENERGY], np.float64)[:n_atoms].ravel()
+    np.testing.assert_allclose(ea_f, ea_o, rtol=5e-5, atol=5e-5)
 
     # trainable backend: one grad through the primitive kernels
     train = _flagship_model(n_edges / n_atoms, "fused", tensor_dtype="none")
@@ -596,7 +680,7 @@ def _load_leaves_into(tree, path):
     return jax.tree_util.tree_unflatten(treedef, new)
 
 
-def run_parity(n_atoms=512, verbose=False, onehot_passes=None):
+def run_parity(n_atoms=512, verbose=False, onehot_passes=None, precision=None):
     """Force MAE of the on-chip f32 fused path vs the f64 einsum oracle
     (computed on CPU x64 in a clean subprocess; same params, same edges).
 
@@ -614,12 +698,12 @@ def run_parity(n_atoms=512, verbose=False, onehot_passes=None):
     if onehot_passes is not None:
         _ft.set_onehot_passes(onehot_passes)
     try:
-        return _run_parity_inner(n_atoms, verbose)
+        return _run_parity_inner(n_atoms, verbose, precision)
     finally:
         _ft.ONEHOT_PASSES = old_passes
 
 
-def _run_parity_inner(n_atoms, verbose):
+def _run_parity_inner(n_atoms, verbose, precision=None):
     import jax
 
     from allegro_tpu.data import batch_frames, keys, to_jax
@@ -627,7 +711,9 @@ def _run_parity_inner(n_atoms, verbose):
     frame, n_atoms = _crystal_frame(n_atoms, 4.0, seed=7)
     n_edges = frame[keys.EDGE_INDEX].shape[1]
     batch = to_jax(batch_frames([frame], n_frames=1), dtype=np.float32)
-    model = _flagship_model(n_edges / n_atoms, backend="fused_infer")
+    model = _flagship_model(
+        n_edges / n_atoms, backend="fused_infer", precision=precision
+    )
     batch = model.precompute_statics(batch)
     params = model.init(0, batch)
     out = jax.jit(lambda p, b: model.apply_with_derivatives(p, b))(params, batch)

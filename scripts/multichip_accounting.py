@@ -37,8 +37,8 @@ from allegro_tpu.parallel.accounting import (  # noqa: E402
 # measured single-chip coefficients (BENCH_r04: hbm_model_GB / n_edges at the
 # 4k f32 flagship, roofline_frac from the same run) — override via env to
 # re-project from a fresh bench JSON
-HBM_BYTES_PER_EDGE = float(os.environ.get("ACCT_HBM_BYTES_PER_EDGE", "42230"))
-ROOFLINE_FRAC = float(os.environ.get("ACCT_ROOFLINE_FRAC", "0.67"))
+HBM_BYTES_PER_EDGE = float(os.environ.get("ACCT_HBM_BYTES_PER_EDGE", "34700"))
+ROOFLINE_FRAC = float(os.environ.get("ACCT_ROOFLINE_FRAC", "0.71"))
 
 
 def main(n_atoms=100000, r_max=4.0):
