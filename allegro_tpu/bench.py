@@ -703,7 +703,43 @@ def run_parity(n_atoms=512, verbose=False, onehot_passes=None, precision=None):
         _ft.ONEHOT_PASSES = old_passes
 
 
-def _run_parity_inner(n_atoms, verbose, precision=None):
+def run_policy_parity(
+    n_atoms=512, tensor_dtype=None, onehot_passes=None, precision=None,
+    verbose=False,
+):
+    """Force parity of a given precision POLICY vs the f64 oracle, reported
+    in the reference's own acceptance form: elementwise
+    ``|Δf| <= atol + rtol·|f_ref|`` with rtol = atol = 5e-5
+    (``/root/reference/tests/model/test_allegro.py:72-74`` compiled-model
+    tolerance). Returns a dict with mae, rel, the allclose pass/fail, and the
+    margin (max over components of ``|Δf| - rtol·|f_ref|``; pass iff
+    margin <= atol). Used to qualify the 100k-atom policy (bf16 tensor-track
+    storage) — VERDICT r3 #2."""
+    from allegro_tpu.ops import fused_tp as _ft
+
+    old_passes = _ft.ONEHOT_PASSES
+    if onehot_passes is not None:
+        _ft.set_onehot_passes(onehot_passes)
+    try:
+        mae, rel, margin = _run_parity_inner(
+            n_atoms, verbose, precision, tensor_dtype=tensor_dtype,
+            want_margin=True,
+        )
+    finally:
+        _ft.ONEHOT_PASSES = old_passes
+    atol = rtol = 5e-5
+    return {
+        "tensor_dtype": tensor_dtype or "float32",
+        "force_mae_vs_f64": float(f"{mae:.3e}"),
+        "force_mae_vs_f64_rel": float(f"{rel:.3e}"),
+        "allclose_margin": float(f"{margin:.3e}"),
+        "allclose_atol_rtol": atol,
+        "reference_allclose_pass": bool(margin <= atol),
+    }
+
+
+def _run_parity_inner(n_atoms, verbose, precision=None, tensor_dtype=None,
+                      want_margin=False):
     import jax
 
     from allegro_tpu.data import batch_frames, keys, to_jax
@@ -712,7 +748,8 @@ def _run_parity_inner(n_atoms, verbose, precision=None):
     n_edges = frame[keys.EDGE_INDEX].shape[1]
     batch = to_jax(batch_frames([frame], n_frames=1), dtype=np.float32)
     model = _flagship_model(
-        n_edges / n_atoms, backend="fused_infer", precision=precision
+        n_edges / n_atoms, backend="fused_infer", precision=precision,
+        tensor_dtype=tensor_dtype or "none",
     )
     batch = model.precompute_statics(batch)
     params = model.init(0, batch)
@@ -743,6 +780,10 @@ def _run_parity_inner(n_atoms, verbose, precision=None):
         f64 = np.load(ofile)[:n_atoms]
     mae = float(np.abs(f32 - f64).mean())
     frms = float(np.sqrt((f64**2).mean()))
+    if want_margin:
+        # reference acceptance form: pass iff max(|Δf| - rtol·|f_ref|) <= atol
+        margin = float((np.abs(f32 - f64) - 5e-5 * np.abs(f64)).max())
+        return mae, mae / frms, margin
     return mae, mae / frms
 
 

@@ -142,6 +142,9 @@ class AllegroLayers(nn.Module):
     # (ops.fused_tp.ONEHOT_PASSES, env-overridable) resolved at trace time.
     # Position gathers and energy sums are ALWAYS exact regardless.
     onehot_passes: int | None = None
+    # packed (legacy pallas) backend env construction variant; None = the
+    # module default PACKED_ENV_VARIANT ("edge_major"/"dim_major")
+    packed_env_variant: str | None = None
 
     def setup(self):
         irreps_sh = Irreps(self.irreps_sh)
@@ -509,7 +512,7 @@ class AllegroLayers(nn.Module):
             env_w_p = env_w if env_w.shape[0] == Ep else jnp.pad(
                 env_w, ((0, Ep - E), (0, 0))
             )
-            if PACKED_ENV_VARIANT == "dim_major":
+            if (self.packed_env_variant or PACKED_ENV_VARIANT) == "dim_major":
                 x2_dm = self._env_weighter.dim_major(sh_p, env_w_p)
                 feats = self.tps[layer].packed_call(
                     features, x2_dm, centers_p, n_atoms, mul=U

@@ -111,6 +111,18 @@ if __name__ == "__main__":
             except Exception as e:  # keep the headline even if a stage dies
                 result["extra"]["us_per_atom_100k_error"] = str(e)[:300]
             try:
+                # the largest EXACT-f32-track system this chip fits (the 100k
+                # headline uses bf16 tensor-track storage — whose policy's
+                # reference-criterion parity is reported below; f32 compiles
+                # up to ~74k atoms on 16 GB, measured round 4)
+                os.environ["BENCH_TENSOR_DTYPE"] = "float32"
+                r74 = run_benchmark(n_atoms=74000, verbose=verbose)
+                result["extra"]["us_per_atom_74k_f32"] = r74["value"]
+            except Exception as e:
+                result["extra"]["us_per_atom_74k_f32_error"] = str(e)[:300]
+            finally:
+                os.environ.pop("BENCH_TENSOR_DTYPE", None)
+            try:
                 result["extra"]["train_samples_per_sec"] = round(
                     run_train_bench(verbose=verbose), 2
                 )
@@ -170,4 +182,18 @@ if __name__ == "__main__":
                     )
                 except Exception as e:
                     result["extra"]["force_mae_exact_error"] = str(e)[:300]
+            try:
+                # qualify the 100k-atom policy (bf16 tensor-track storage +
+                # the headline passes/precision) against the reference's own
+                # acceptance criterion: elementwise allclose at
+                # rtol = atol = 5e-5 (VERDICT r3 #2)
+                from allegro_tpu.bench import run_policy_parity
+
+                result["extra"]["policy_parity_bf16_track"] = run_policy_parity(
+                    tensor_dtype="bfloat16",
+                    onehot_passes=HEADLINE_ONEHOT_PASSES,
+                    verbose=verbose,
+                )
+            except Exception as e:
+                result["extra"]["policy_parity_bf16_track_error"] = str(e)[:300]
     print(json.dumps(result))
