@@ -818,10 +818,40 @@ def _oracle_main(params_file, out_file):
     np.save(out_file, np.asarray(out[keys.FORCES], np.float64))
 
 
+def run_lmax3_subprocess(n_atoms, timeout=2400):
+    """Run the l_max=3 bench in a CLEAN subprocess: a RESOURCE_EXHAUSTED at
+    the O(l_max^6) 100k scale poisons the tunnel backend for every later
+    stage of the same process (observed round 4) — isolation keeps the
+    driver bench's remaining stages healthy."""
+    env = dict(os.environ)
+    env.pop("BENCH_SKIP_EXTRA", None)
+    proc = subprocess.run(
+        [sys.executable, "-m", "allegro_tpu.bench", "--lmax3", str(n_atoms)],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=timeout,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            (proc.stdout.strip().splitlines() or [""])[-1][-200:]
+            + (proc.stderr.strip().splitlines() or [""])[-1][-200:]
+        )
+    return float(proc.stdout.strip().splitlines()[-1])
+
+
 if __name__ == "__main__":
     if "--oracle" in sys.argv:
         i = sys.argv.index("--oracle")
         _oracle_main(sys.argv[i + 1], sys.argv[i + 2])
+        sys.exit(0)
+    if "--lmax3" in sys.argv:
+        import jax as _jax
+
+        os.makedirs("/root/.jax_cache", exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        i = sys.argv.index("--lmax3")
+        n = int(sys.argv[i + 1])
+        print(run_lmax3_bench(n_atoms=n, iters=10 if n > 20000 else 40))
         sys.exit(0)
     verbose = "-v" in sys.argv
     n = int(os.environ.get("BENCH_N_ATOMS", "4096"))

@@ -135,15 +135,24 @@ if __name__ == "__main__":
                 )
             except Exception as e:
                 result["extra"]["us_per_atom_lmax3_error"] = str(e)[:300]
-            try:
-                # l_max=3 at the 100k-atom headline scale (VERDICT r3 #8);
-                # bf16 tensor track + per-layer remat (the O(l_max^6) memory
-                # regime, /root/reference/docs/guide/allegro_model.rst:13)
-                result["extra"]["us_per_atom_lmax3_100k"] = round(
-                    run_lmax3_bench(n_atoms=100000, iters=10, verbose=verbose), 4
-                )
-            except Exception as e:
-                result["extra"]["us_per_atom_lmax3_100k_error"] = str(e)[:300]
+            # l_max=3 at scale (VERDICT r3 #8): try the 100k headline size,
+            # fall back to smaller systems to report the single-chip CEILING
+            # of the O(l_max^6) memory regime
+            # (/root/reference/docs/guide/allegro_model.rst:13). Runs in a
+            # clean subprocess: a RESOURCE_EXHAUSTED here poisons the tunnel
+            # backend for every later stage of this process (observed r4).
+            from allegro_tpu.bench import run_lmax3_subprocess
+
+            for n3 in (100000, 50000, 27000):
+                try:
+                    result["extra"][f"us_per_atom_lmax3_{n3 // 1000}k"] = round(
+                        run_lmax3_subprocess(n3), 4
+                    )
+                    break
+                except Exception as e:
+                    result["extra"][f"us_per_atom_lmax3_{n3 // 1000}k_error"] = (
+                        str(e)[:200]
+                    )
             try:
                 # BASELINE.json config 2: multi-species periodic + stress loss
                 result["extra"]["train_stress_samples_per_sec"] = round(
