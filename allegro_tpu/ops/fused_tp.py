@@ -92,27 +92,35 @@ _HIGHEST = jax.lax.Precision.HIGHEST
 # ---------------------------------------------------------------------------
 
 
-def num_rank_rows(n_atoms: int, eb: int) -> int:
-    """Static row count of the rank-space environment arrays."""
-    return ((n_atoms + 1) // eb + 2) * eb
+def num_rank_rows(n_atoms: int, wr: int) -> int:
+    """Static row count of the rank-space environment arrays (``wr`` = the
+    plan's window row-block size — ``eb`` historically, 64 on the narrow-
+    window fast path)."""
+    return ((n_atoms + 1) // wr + 2) * wr
 
 
-def make_block_plan(centers: jnp.ndarray, eb: int):
+def make_block_plan(centers: jnp.ndarray, eb: int, wr: int = None):
     """Per-block window indices + per-edge window offsets, from sorted centers.
 
     centers: int32 [Ep] non-decreasing, padded edges carry an ``n_atoms``
     sentinel (sorted last). Ep must be a multiple of ``eb``.
 
-    Returns (win [NB] int32, offs_padded [NB*8, eb] int32). ``offs`` values
-    lie in [0, 2*eb): row ``rank_e - win[b]*eb`` of the (two-tile) window.
+    ``wr`` (default ``eb``): window ROW-block granularity. Returns
+    (win [NB] int32, offs_padded [NB*8, eb] int32). ``offs`` values lie in
+    [0, 2*wr): row ``rank_e - win[b]*wr`` of the (two-tile) window. With
+    ``wr = eb`` any sorted edge distribution is valid (a block of ``eb``
+    edges spans at most ``eb`` ranks); smaller ``wr`` requires every block's
+    rank span to fit the narrower pair — callers must validate on host
+    (:func:`make_block_plan_np` raises) before choosing it.
     """
+    wr = eb if wr is None else wr
     (Ep,) = centers.shape
     assert Ep % eb == 0, (Ep, eb)
     nb = Ep // eb
     neq = (centers[1:] != centers[:-1]).astype(jnp.int32)
     ranks = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(neq)])
-    win = ranks[::eb] // eb  # [NB]
-    offs = ranks - jnp.repeat(win * eb, eb, total_repeat_length=Ep)
+    win = ranks[::eb] // wr  # [NB]
+    offs = ranks - jnp.repeat(win * wr, eb, total_repeat_length=Ep)
     offs = offs.reshape(nb, 1, eb)
     # pad rows to 8 so the block shape (8, eb) is tile-legal; row 0 is real
     offs_padded = jnp.concatenate(
@@ -121,7 +129,8 @@ def make_block_plan(centers: jnp.ndarray, eb: int):
     return win, offs_padded
 
 
-def make_block_plan_np(centers: np.ndarray, eb: int, n_atoms: int):
+def make_block_plan_np(centers: np.ndarray, eb: int, n_atoms: int,
+                       wr: int = None):
     """Host (numpy) twin of :func:`make_block_plan`, for precomputing the
     plan ONCE per neighbor list (``Model.precompute_statics``) instead of
     re-deriving it inside every jitted force step (~0.5 ms/step of cumsum/
@@ -131,7 +140,11 @@ def make_block_plan_np(centers: np.ndarray, eb: int, n_atoms: int):
 
     ``centers``: int32 [E] (unpadded OK — padded here to a multiple of
     ``eb`` with the ``n_atoms`` sentinel). Returns (win, offs_padded, Ep).
+
+    ``wr < eb`` raises ValueError when some block's rank span does not fit
+    the narrow window pair (callers fall back to ``wr = eb``).
     """
+    wr = eb if wr is None else wr
     centers = np.asarray(centers)
     real = centers[centers < n_atoms] if centers.size else centers
     if real.size and (np.diff(real) < 0).any():
@@ -149,8 +162,13 @@ def make_block_plan_np(centers: np.ndarray, eb: int, n_atoms: int):
     nb = Ep // eb
     neq = (centers[1:] != centers[:-1]).astype(np.int32)
     ranks = np.concatenate([np.zeros(1, np.int32), np.cumsum(neq, dtype=np.int32)])
-    win = (ranks[::eb] // eb).astype(np.int32)
-    offs = (ranks - np.repeat(win * eb, eb)).astype(np.int32).reshape(nb, 1, eb)
+    win = (ranks[::eb] // wr).astype(np.int32)
+    offs = (ranks - np.repeat(win * wr, eb)).astype(np.int32).reshape(nb, 1, eb)
+    if wr != eb and offs.size and int(offs.max()) >= 2 * wr:
+        raise ValueError(
+            f"window_rows={wr} too small: a {eb}-edge block spans "
+            f"{int(offs.max()) + 1} rank rows (> {2 * wr}); use wr={eb}"
+        )
     offs_padded = np.concatenate(
         [offs, np.zeros((nb, 7, eb), np.int32)], axis=1
     ).reshape(nb * 8, eb)
@@ -200,8 +218,12 @@ def _split3_bf16(x):
     return x0, x1, x2
 
 
-def _onehot_dot(g_bool, data, dtype, passes=None):
-    """g_bool [m, n] one-hot rows (bool) @ data [n, C] — exact, fast.
+def _split_parts(data, dtype, passes=None):
+    """Split a one-hot-product data operand ONCE into its MXU passes.
+
+    Returns ``(parts, spec)`` for :func:`_dot_parts`; callers that multiply
+    the same data against several one-hot masks (the A/B window pair) hoist
+    this so the split VPU ops (~1/8 of a one-hot site on chip) run once.
 
     f32 data: ``passes`` bf16 splits (3 = exact, see _split3_bf16; 2 drops
     the smallest term, ~7.6e-6 rel). ``passes=None`` resolves the module
@@ -213,15 +235,7 @@ def _onehot_dot(g_bool, data, dtype, passes=None):
     passes = ONEHOT_PASSES if passes is None else passes
     data = data.astype(dtype)
     if dtype == jnp.float32 and not INTERPRET:
-        g = g_bool.astype(jnp.bfloat16)
-        parts = _split3_bf16(data)[:passes]
-        out = None
-        for part in parts:
-            t = jax.lax.dot_general(
-                g, part, _DN_ROWS, preferred_element_type=jnp.float32
-            )
-            out = t if out is None else out + t
-        return out
+        return _split3_bf16(data)[:passes], (jnp.bfloat16, False, jnp.float32)
     if dtype == jnp.float32 and INTERPRET and passes != 3:
         # interpret-mode (CPU tests) emulation of the REDUCED-pass policy:
         # drop the same split terms the MXU path drops, but run the dots at
@@ -231,80 +245,89 @@ def _onehot_dot(g_bool, data, dtype, passes=None):
         # exercises the 2-pass rounding (ADVICE r3 high). The 3-pass split is
         # bitwise-exact f32 reconstruction, so the plain HIGHEST pass below
         # covers it without tripling interpret-mode test cost.
-        out = None
-        for part in _split3_bf16(data)[:passes]:
-            t = jax.lax.dot_general(
-                g_bool.astype(jnp.float32), part.astype(jnp.float32),
-                _DN_ROWS, precision=_HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
-            out = t if out is None else out + t
-        return out
+        parts = tuple(
+            p.astype(jnp.float32) for p in _split3_bf16(data)[:passes]
+        )
+        return parts, (jnp.float32, True, jnp.float32)
     acc = jnp.promote_types(dtype, jnp.float32)
-    return jax.lax.dot_general(
-        g_bool.astype(dtype), data, _DN_ROWS, precision=_HIGHEST,
-        preferred_element_type=acc,
-    )
+    return (data,), (dtype, True, acc)
+
+
+def _dot_parts(g_bool, parts, spec, right=False):
+    """Σ over ``parts`` of the one-hot product (pass policy baked by
+    :func:`_split_parts`). ``right=False``: g @ part; ``right=True``:
+    part @ g."""
+    gdt, use_highest, pref = spec
+    g = g_bool.astype(gdt)
+    out = None
+    for part in parts:
+        a, b = (part, g) if right else (g, part)
+        t = jax.lax.dot_general(
+            a, b, _DN_ROWS,
+            precision=_HIGHEST if use_highest else None,
+            preferred_element_type=pref,
+        )
+        out = t if out is None else out + t
+    return out
+
+
+def _onehot_dot(g_bool, data, dtype, passes=None):
+    """g_bool [m, n] one-hot rows (bool) @ data [n, C] — exact, fast."""
+    parts, spec = _split_parts(data, dtype, passes)
+    return _dot_parts(g_bool, parts, spec)
 
 
 def _onehot_dot_right(data, g_bool, dtype, passes=None):
     """data [C, n] @ one-hot g_bool [n, m] — right-multiplied twin of
     :func:`_onehot_dot` (same split-pass policy)."""
-    passes = ONEHOT_PASSES if passes is None else passes
-    data = data.astype(dtype)
-    if dtype == jnp.float32 and not INTERPRET:
-        g = g_bool.astype(jnp.bfloat16)
-        out = None
-        for part in _split3_bf16(data)[:passes]:
-            t = jax.lax.dot_general(
-                part, g, _DN_ROWS, preferred_element_type=jnp.float32
-            )
-            out = t if out is None else out + t
-        return out
-    if dtype == jnp.float32 and INTERPRET and passes != 3:
-        # reduced-pass emulation under interpret — see _onehot_dot
-        out = None
-        for part in _split3_bf16(data)[:passes]:
-            t = jax.lax.dot_general(
-                part.astype(jnp.float32), g_bool.astype(jnp.float32),
-                _DN_ROWS, precision=_HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
-            out = t if out is None else out + t
-        return out
-    acc = jnp.promote_types(dtype, jnp.float32)
-    return jax.lax.dot_general(
-        data, g_bool.astype(dtype), _DN_ROWS, precision=_HIGHEST,
-        preferred_element_type=acc,
-    )
+    parts, spec = _split_parts(data, dtype, passes)
+    return _dot_parts(g_bool, parts, spec, right=True)
 
 
-def _gather_windows(o, envA, envB, eb: int, dtype, passes=None):
+def _gather_windows(o, envA, envB, wr: int, dtype, passes=None):
     """One-hot gather of per-edge environment rows from the two window tiles.
 
-    o [eb] int32 in [0, 2*eb); envA/envB [eb, C]. Exact: each G row has at
+    o [eb] int32 in [0, 2*wr); envA/envB [wr, C]. Exact: each G row has at
     most one nonzero (1.0), so MXU accumulation order cannot change the value;
     the split-matmul keeps f32 mantissas intact through the bf16-based MXU.
+
+    Narrow windows (2*wr <= 128, the wr=64 fast path): the pair concatenates
+    into a single <=128-row operand, so the whole gather is ONE one-hot
+    product per split pass — half the MXU streaming and half the data split
+    of the two-window form (the MXU's K granularity is 128: two wr=128
+    window dots cost two full K tiles; a 128-row concat costs one).
     """
-    ii = jax.lax.broadcasted_iota(jnp.int32, (o.shape[0], eb), 1)
+    m = o.shape[0]
+    if 2 * wr <= 128:
+        env = jnp.concatenate([envA, envB], axis=0)  # [2*wr, C]
+        ii = jax.lax.broadcasted_iota(jnp.int32, (m, 2 * wr), 1)
+        return _onehot_dot(ii == o[:, None], env, dtype, passes)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (m, wr), 1)
     oc = o[:, None]
     return _onehot_dot(ii == oc, envA, dtype, passes) + _onehot_dot(
-        ii == (oc - eb), envB, dtype, passes
+        ii == (oc - wr), envB, dtype, passes
     )
 
 
-def _scatter_windows(o, vals, eb: int, dtype, passes=None):
+def _scatter_windows(o, vals, wr: int, dtype, passes=None):
     """One-hot scatter (transpose of gather): per-window sums of vals rows.
 
-    Returns (sumA [eb, C], sumB [eb, C]). Exact for the same reason only when
+    Returns (sumA [wr, C], sumB [wr, C]). Exact for the same reason only when
     each window row receives one edge; with many edges per atom the MXU
     accumulates in f32 (preferred_element_type) — same precision as XLA's
-    segment_sum.
+    segment_sum. Narrow windows: one one-hot product, split into halves
+    (see :func:`_gather_windows`).
     """
-    ii = jax.lax.broadcasted_iota(jnp.int32, (eb, o.shape[0]), 0)
+    m = o.shape[0]
+    parts, spec = _split_parts(vals, dtype, passes)  # split once for A and B
+    if 2 * wr <= 128:
+        ii = jax.lax.broadcasted_iota(jnp.int32, (2 * wr, m), 0)
+        s = _dot_parts(ii == o[None, :], parts, spec)  # [2*wr, C]
+        return s[:wr, :], s[wr:, :]
+    ii = jax.lax.broadcasted_iota(jnp.int32, (wr, m), 0)
     orow = o[None, :]
-    sa = _onehot_dot(ii == orow, vals, dtype, passes)
-    sb = _onehot_dot(ii == (orow - eb), vals, dtype, passes)
+    sa = _dot_parts(ii == orow, parts, spec)
+    sb = _dot_parts(ii == (orow - wr), parts, spec)
     return sa, sb
 
 
@@ -940,8 +963,9 @@ def _center_sum_kernel(win_ref, offs_ref, v_ref, outA_ref, outB_ref, *, eb, pass
     v = v_ref[...].astype(cdt)  # [C, eb] feature-major
     ii = jax.lax.broadcasted_iota(jnp.int32, (eb, eb), 1)  # [edge, atom]
     oc = o[:, None]
-    sa = _onehot_dot_right(v, ii == oc, cdt, passes)
-    sb = _onehot_dot_right(v, ii == (oc - eb), cdt, passes)
+    parts, spec = _split_parts(v, cdt, passes)  # split once for A and B
+    sa = _dot_parts(ii == oc, parts, spec, right=True)
+    sb = _dot_parts(ii == (oc - eb), parts, spec, right=True)
     first = _first_visit(win_ref)
 
     @pl.when(first)
