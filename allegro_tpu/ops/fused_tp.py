@@ -164,11 +164,21 @@ def make_block_plan_np(centers: np.ndarray, eb: int, n_atoms: int,
     ranks = np.concatenate([np.zeros(1, np.int32), np.cumsum(neq, dtype=np.int32)])
     win = (ranks[::eb] // wr).astype(np.int32)
     offs = (ranks - np.repeat(win * wr, eb)).astype(np.int32).reshape(nb, 1, eb)
-    if wr != eb and offs.size and int(offs.max()) >= 2 * wr:
-        raise ValueError(
-            f"window_rows={wr} too small: a {eb}-edge block spans "
-            f"{int(offs.max()) + 1} rank rows (> {2 * wr}); use wr={eb}"
-        )
+    if wr != eb:
+        if offs.size and int(offs.max()) >= 2 * wr:
+            raise ValueError(
+                f"window_rows={wr} too small: a {eb}-edge block spans "
+                f"{int(offs.max()) + 1} rank rows (> {2 * wr}); use wr={eb}"
+            )
+        # the raw-window garbage masks (_combine_window_tiles) and the
+        # scatter accumulate-on-revisit init both assume win is CONTIGUOUS
+        # (advances by at most 1 per block) — automatic at wr == eb, but a
+        # block that exactly fills its window pair can jump by 2 at wr < eb
+        if win.size > 1 and int(np.diff(win).max(initial=0)) > 1:
+            raise ValueError(
+                f"window_rows={wr}: window index jumps by more than 1 "
+                f"between consecutive blocks; use wr={eb}"
+            )
     offs_padded = np.concatenate(
         [offs, np.zeros((nb, 7, eb), np.int32)], axis=1
     ).reshape(nb * 8, eb)
@@ -187,7 +197,10 @@ def combine_scatter_outputs(dA, dB, win, eb: int):
     Each partial array only has DEFINED contents on the window blocks its
     spec visited (A: [win0, win_last], B: shifted by one); everything else is
     uninitialized memory. Mask before adding so garbage never reaches the
-    gathered row range [win0*eb, (win_last+2)*eb)."""
+    gathered row range [win0*eb, (win_last+2)*eb).
+
+    ``eb`` here is the plan's window row unit — pass the plan's ``wr`` when
+    the partials came from a narrow-window (wr < eb) plan."""
     rows = dA.shape[0]
     r = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
     w0, wl = win[0], win[-1]
@@ -410,13 +423,15 @@ def _combine_window_tiles(win_ref, nb, Aw, Aw1, Bw, Bw1, dtype):
     return envW, envW1
 
 
-def _env_pair_specs(cols, eb):
-    """Four window specs over the (A, B) partial pair (pass each array twice)."""
+def _env_pair_specs(cols, wr):
+    """Four window specs over the (A, B) partial pair (pass each array twice).
+    ``wr``: the plan's window row-block size (``eb`` classically; 64 on the
+    narrow-window fast path — half-size window DMA + single one-hot tile)."""
     return [
-        pl.BlockSpec((eb, cols), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((eb, cols), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((eb, cols), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((eb, cols), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((wr, cols), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((wr, cols), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((wr, cols), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((wr, cols), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
     ]
 
 
@@ -426,12 +441,12 @@ def _env_pair_specs(cols, eb):
 
 
 def _gather_tp_kernel(
-    win_ref, offs_ref, x_ref, envA_ref, envB_ref, w_ref, out_ref, *, entries, dims, U, eb, passes=None
+    win_ref, offs_ref, x_ref, envA_ref, envB_ref, w_ref, out_ref, *, entries, dims, U, eb, wr, passes=None
 ):
     d1, d2, d3 = dims
     o = offs_ref[0, :]
     cdt = compute_dtype(x_ref.dtype, envA_ref.dtype)
-    env_eT = _gather_windows(o, envA_ref[...], envB_ref[...], eb, cdt, passes).T
+    env_eT = _gather_windows(o, envA_ref[...], envB_ref[...], wr, cdt, passes).T
     xT = x_ref[...].astype(cdt).T
     wT = w_ref[...].astype(cdt).T
     acc = _tp_accumulate_T(
@@ -443,8 +458,9 @@ def _gather_tp_kernel(
 
 
 def gather_tp_call(x, envA, envB, w, offs_p, win, *, entries, dims, U, eb,
-                   passes=None):
+                   wr=None, passes=None):
     """x [Ep, d1*U], envA/envB [Na, d2*U], w [P, U] → out [Ep, d3*U]."""
+    wr = eb if wr is None else wr
     Ep = x.shape[0]
     nb = Ep // eb
     d1, d2, d3 = dims
@@ -455,14 +471,14 @@ def gather_tp_call(x, envA, envB, w, offs_p, win, *, entries, dims, U, eb,
         in_specs=[
             pl.BlockSpec((8, eb), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((eb, d1 * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wr, d2 * U), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wr, d2 * U), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((eb, d3 * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
     )
     kern = functools.partial(
-        _gather_tp_kernel, entries=entries, dims=dims, U=U, eb=eb,
+        _gather_tp_kernel, entries=entries, dims=dims, U=U, eb=eb, wr=wr,
         passes=passes,
     )
     return pl.pallas_call(
@@ -475,7 +491,7 @@ def gather_tp_call(x, envA, envB, w, offs_p, win, *, entries, dims, U, eb,
 
 def _gather_tp_raw_kernel(
     win_ref, offs_ref, x_ref, Aw_ref, Aw1_ref, Bw_ref, Bw1_ref, w_ref, out_ref,
-    *maybe_ts, entries, dims, U, eb, nb, passes=None
+    *maybe_ts, entries, dims, U, eb, wr, nb, passes=None
 ):
     d1, d2, d3 = dims
     o = offs_ref[0, :]
@@ -483,7 +499,7 @@ def _gather_tp_raw_kernel(
     envW, envW1 = _combine_window_tiles(
         win_ref, nb, Aw_ref[...], Aw1_ref[...], Bw_ref[...], Bw1_ref[...], cdt
     )
-    env_eT = _gather_windows(o, envW, envW1, eb, cdt, passes).T
+    env_eT = _gather_windows(o, envW, envW1, wr, cdt, passes).T
     xT = x_ref[...].astype(cdt).T
     wT = w_ref[...].astype(cdt).T
     acc = _tp_accumulate_T(
@@ -502,13 +518,15 @@ def _gather_tp_raw_kernel(
 
 
 def gather_tp_raw_call(x, eA, eB, w, offs_p, win, *, entries, dims, U, eb,
-                       passes=None, split_scalars=False, scalar_dtype=None):
+                       wr=None, passes=None, split_scalars=False,
+                       scalar_dtype=None):
     """Raw-window twin of :func:`gather_tp_call`: takes the UNcombined
     scatter partials (eA, eB) and reconstructs the window tiles in VMEM.
 
     ``split_scalars=True``: additionally returns the leading scalar block
     ``out[:, :U]`` as a separate [Ep, U] array (``scalar_dtype`` storage,
     default the compute dtype) — returns (out, tp_scalars)."""
+    wr = eb if wr is None else wr
     Ep = x.shape[0]
     nb = Ep // eb
     d1, d2, d3 = dims
@@ -532,14 +550,14 @@ def gather_tp_raw_call(x, eA, eB, w, offs_p, win, *, entries, dims, U, eb,
         in_specs=[
             pl.BlockSpec((8, eb), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((eb, d1 * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
-            *_env_pair_specs(d2 * U, eb),
+            *_env_pair_specs(d2 * U, wr),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
     )
     kern = functools.partial(
-        _gather_tp_raw_kernel, entries=entries, dims=dims, U=U, eb=eb, nb=nb,
-        passes=passes,
+        _gather_tp_raw_kernel, entries=entries, dims=dims, U=U, eb=eb, wr=wr,
+        nb=nb, passes=passes,
     )
     return pl.pallas_call(
         kern,
@@ -576,7 +594,7 @@ def _embed_rows(shT, w2bT, row_specs, U):
 
 def _gather_tp_embed_raw_kernel(
     win_ref, offs_ref, sh_ref, w2b_ref, Aw_ref, Aw1_ref, Bw_ref, Bw1_ref, w_ref,
-    out_ref, *maybe_ts, entries, dims, U, eb, nb, row_specs, passes=None
+    out_ref, *maybe_ts, entries, dims, U, eb, wr, nb, row_specs, passes=None
 ):
     d1, d2, d3 = dims
     o = offs_ref[0, :]
@@ -584,7 +602,7 @@ def _gather_tp_embed_raw_kernel(
     envW, envW1 = _combine_window_tiles(
         win_ref, nb, Aw_ref[...], Aw1_ref[...], Bw_ref[...], Bw1_ref[...], cdt
     )
-    env_eT = _gather_windows(o, envW, envW1, eb, cdt, passes).T
+    env_eT = _gather_windows(o, envW, envW1, wr, cdt, passes).T
     shT = sh_ref[...].astype(cdt)          # [d_sh, eb] (pre-transposed operand)
     w2bT = w2b_ref[...].astype(cdt).T      # [n_irr*U, eb]
     wT = w_ref[...].astype(cdt).T
@@ -602,13 +620,15 @@ def _gather_tp_embed_raw_kernel(
 
 def gather_tp_embed_raw_call(
     sh, w2b, eA, eB, w, offs_p, win, *, entries, dims, U, eb, row_specs,
-    out_dtype=None, passes=None, split_scalars=False, scalar_dtype=None,
+    wr=None, out_dtype=None, passes=None, split_scalars=False,
+    scalar_dtype=None,
 ):
     """sh [Ep, d_sh], w2b [Ep, n_irr*U], raw env pair → out [Ep, d3*U]
     (or (out, tp_scalars [Ep, U]) with ``split_scalars``).
 
     ``row_specs``: tuple of (sh_dim, irrep) per layer-0 input dim (the
     ladder-pruned selection)."""
+    wr = eb if wr is None else wr
     Ep = sh.shape[0]
     nb = Ep // eb
     d1, d2, d3 = dims
@@ -635,14 +655,14 @@ def gather_tp_embed_raw_call(
             pl.BlockSpec((8, eb), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((d_sh, eb), lambda b, w_: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((eb, n_cols), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
-            *_env_pair_specs(d2 * U, eb),
+            *_env_pair_specs(d2 * U, wr),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
     )
     kern = functools.partial(
         _gather_tp_embed_raw_kernel, entries=entries, dims=dims, U=U, eb=eb,
-        nb=nb, row_specs=tuple(row_specs), passes=passes,
+        wr=wr, nb=nb, row_specs=tuple(row_specs), passes=passes,
     )
     return pl.pallas_call(
         kern,
@@ -653,8 +673,8 @@ def gather_tp_embed_raw_call(
 
 
 def _bwd_embed_raw_kernel(
-    win_ref, offs_ref, sh_ref, w2b_ref, g_ref, *refs, entries, dims, U, eb, nb,
-    row_specs, n_irr, passes=None, with_gts=False
+    win_ref, offs_ref, sh_ref, w2b_ref, g_ref, *refs, entries, dims, U, eb, wr,
+    nb, row_specs, n_irr, passes=None, with_gts=False
 ):
     """Backward of the embed-fused gather+TP: (dsh, dw2b, denv pair) in one
     pass — dx never exists; its role is played by in-register [U, eb] blocks
@@ -673,7 +693,7 @@ def _bwd_embed_raw_kernel(
     envW, envW1 = _combine_window_tiles(
         win_ref, nb, Aw_ref[...], Aw1_ref[...], Bw_ref[...], Bw1_ref[...], cdt
     )
-    env_eT = _gather_windows(o, envW, envW1, eb, cdt, passes).T
+    env_eT = _gather_windows(o, envW, envW1, wr, cdt, passes).T
     shT = sh_ref[...].astype(cdt)
     w2bT = w2b_ref[...].astype(cdt).T
     gT = g_ref[...].astype(cdt).T
@@ -726,7 +746,7 @@ def _bwd_embed_raw_kernel(
         contrib = t * (c * wT[:, p][:, None])
         denv_acc[j] = contrib if denv_acc[j] is None else denv_acc[j] + contrib
     vals = _cat_T(denv_acc, U, eb, cdt).T
-    sa, sb = _scatter_windows(o, vals, eb, cdt, passes)
+    sa, sb = _scatter_windows(o, vals, wr, cdt, passes)
     first = _first_visit(win_ref)
 
     @pl.when(first)
@@ -740,10 +760,11 @@ def _bwd_embed_raw_kernel(
 
 def bwd_embed_raw_call(
     sh, w2b, g, eA, eB, w, offs_p, win, *, entries, dims, U, eb, n_rank_rows,
-    row_specs, passes=None, gts=None,
+    row_specs, wr=None, passes=None, gts=None,
 ):
     """→ (dsh [Ep, d_sh], dw2b [Ep, n_irr*U], dA, dB [Nr, d2*U]).
     ``gts`` [Ep, U]: split-scalar-output cotangent folded into g in VMEM."""
+    wr = eb if wr is None else wr
     Ep = sh.shape[0]
     nb = Ep // eb
     d1, d2, d3 = dims
@@ -763,7 +784,7 @@ def bwd_embed_raw_call(
             pl.BlockSpec((eb, U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM)
         )
         args.append(gts)
-    in_specs.extend(_env_pair_specs(d2 * U, eb))
+    in_specs.extend(_env_pair_specs(d2 * U, wr))
     in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     args.extend([eA, eA, eB, eB, w])
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -773,13 +794,13 @@ def bwd_embed_raw_call(
         out_specs=[
             pl.BlockSpec((d_sh, eb), lambda b, w_: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((eb, n_cols), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wr, d2 * U), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wr, d2 * U), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
         ],
     )
     kern = functools.partial(
         _bwd_embed_raw_kernel, entries=tuple(entries), dims=dims, U=U, eb=eb,
-        nb=nb, row_specs=tuple(row_specs), n_irr=n_irr, passes=passes,
+        wr=wr, nb=nb, row_specs=tuple(row_specs), n_irr=n_irr, passes=passes,
         with_gts=gts is not None,
     )
     cdt = compute_dtype(w2b.dtype, g.dtype)
@@ -804,7 +825,7 @@ def bwd_embed_raw_call(
 
 
 def _tp_scatter_kernel(
-    win_ref, offs_ref, x_ref, g_ref, w_ref, outA_ref, outB_ref, *, entries, dims, U, eb, passes=None
+    win_ref, offs_ref, x_ref, g_ref, w_ref, outA_ref, outB_ref, *, entries, dims, U, eb, wr, passes=None
 ):
     d1, d2, d3 = dims
     o = offs_ref[0, :]
@@ -821,7 +842,7 @@ def _tp_scatter_kernel(
         U, d2,
     )
     vals = _cat_T(acc, U, eb, cdt).T  # [eb, d2*U]
-    sa, sb = _scatter_windows(o, vals, eb, cdt, passes)
+    sa, sb = _scatter_windows(o, vals, wr, cdt, passes)
     first = _first_visit(win_ref)
 
     @pl.when(first)
@@ -834,8 +855,9 @@ def _tp_scatter_kernel(
 
 
 def tp_scatter_call(x, g, w, offs_p, win, *, entries, dims, U, eb,
-                    n_rank_rows, passes=None):
+                    n_rank_rows, wr=None, passes=None):
     """x [Ep, d1*U], g [Ep, d3*U], w [P, U] → (dA, dB) each [Na, d2*U]."""
+    wr = eb if wr is None else wr
     Ep = x.shape[0]
     nb = Ep // eb
     d1, d2, d3 = dims
@@ -850,12 +872,12 @@ def tp_scatter_call(x, g, w, offs_p, win, *, entries, dims, U, eb,
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wr, d2 * U), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wr, d2 * U), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
         ],
     )
     kern = functools.partial(
-        _tp_scatter_kernel, entries=entries, dims=dims, U=U, eb=eb,
+        _tp_scatter_kernel, entries=entries, dims=dims, U=U, eb=eb, wr=wr,
         passes=passes,
     )
     # env cotangents accumulate across grid steps — keep them >= f32 even
@@ -875,11 +897,11 @@ def tp_scatter_call(x, g, w, offs_p, win, *, entries, dims, U, eb,
 
 
 def _gather_dw_kernel(
-    win_ref, offs_ref, x_ref, envA_ref, envB_ref, g_ref, out_ref, *, entries, dims, U, eb, n_paths, passes=None
+    win_ref, offs_ref, x_ref, envA_ref, envB_ref, g_ref, out_ref, *, entries, dims, U, eb, wr, n_paths, passes=None
 ):
     o = offs_ref[0, :]
     cdt = compute_dtype(x_ref.dtype, g_ref.dtype, envA_ref.dtype)
-    env_eT = _gather_windows(o, envA_ref[...], envB_ref[...], eb, cdt, passes).T
+    env_eT = _gather_windows(o, envA_ref[...], envB_ref[...], wr, cdt, passes).T
     xT = x_ref[...].astype(cdt).T
     gT = g_ref[...].astype(cdt).T
     acc = [None] * n_paths
@@ -904,8 +926,9 @@ def _gather_dw_kernel(
 
 
 def gather_dw_call(x, envA, envB, g, offs_p, win, *, entries, dims, U, eb,
-                   passes=None):
+                   wr=None, passes=None):
     """→ dw [P, U]."""
+    wr = eb if wr is None else wr
     Ep = x.shape[0]
     nb = Ep // eb
     d1, d2, d3 = dims
@@ -917,14 +940,14 @@ def gather_dw_call(x, envA, envB, g, offs_p, win, *, entries, dims, U, eb,
         in_specs=[
             pl.BlockSpec((8, eb), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((eb, d1 * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wr, d2 * U), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wr, d2 * U), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((eb, d3 * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((n_paths, U), lambda b, w_: (0, 0), memory_space=pltpu.VMEM),
     )
     kern = functools.partial(
-        _gather_dw_kernel, entries=entries, dims=dims, U=U, eb=eb,
+        _gather_dw_kernel, entries=entries, dims=dims, U=U, eb=eb, wr=wr,
         n_paths=n_paths, passes=passes,
     )
     return pl.pallas_call(
@@ -957,15 +980,20 @@ def combine_scatter_cols(dA, dB, win, eb: int):
     return jnp.where(mA, dA, zero) + jnp.where(mB, dB, zero)
 
 
-def _center_sum_kernel(win_ref, offs_ref, v_ref, outA_ref, outB_ref, *, eb, passes=None):
+def _center_sum_kernel(win_ref, offs_ref, v_ref, outA_ref, outB_ref, *, eb, wr, passes=None):
     o = offs_ref[0, :]
     cdt = compute_dtype(v_ref.dtype)
     v = v_ref[...].astype(cdt)  # [C, eb] feature-major
-    ii = jax.lax.broadcasted_iota(jnp.int32, (eb, eb), 1)  # [edge, atom]
     oc = o[:, None]
     parts, spec = _split_parts(v, cdt, passes)  # split once for A and B
-    sa = _dot_parts(ii == oc, parts, spec, right=True)
-    sb = _dot_parts(ii == (oc - eb), parts, spec, right=True)
+    if 2 * wr <= 128:  # narrow windows: ONE one-hot product for the pair
+        ii = jax.lax.broadcasted_iota(jnp.int32, (eb, 2 * wr), 1)  # [edge, atom]
+        s = _dot_parts(ii == oc, parts, spec, right=True)  # [C, 2*wr]
+        sa, sb = s[:, :wr], s[:, wr:]
+    else:
+        ii = jax.lax.broadcasted_iota(jnp.int32, (eb, wr), 1)  # [edge, atom]
+        sa = _dot_parts(ii == oc, parts, spec, right=True)
+        sb = _dot_parts(ii == (oc - wr), parts, spec, right=True)
     first = _first_visit(win_ref)
 
     @pl.when(first)
@@ -977,9 +1005,10 @@ def _center_sum_kernel(win_ref, offs_ref, v_ref, outA_ref, outB_ref, *, eb, pass
     outB_ref[...] = outB_ref[...] + sb.astype(outB_ref.dtype)
 
 
-def center_sum_call(vT, offs_p, win, *, eb, n_rank_rows, passes=None):
+def center_sum_call(vT, offs_p, win, *, eb, n_rank_rows, wr=None, passes=None):
     """vT [C, Ep] per-edge values (feature-major) → two window partials
     [C, n_rank_rows]; combine with :func:`combine_scatter_cols`."""
+    wr = eb if wr is None else wr
     C, Ep = vT.shape
     nb = Ep // eb
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -990,33 +1019,41 @@ def center_sum_call(vT, offs_p, win, *, eb, n_rank_rows, passes=None):
             pl.BlockSpec((C, eb), lambda b, w_: (0, b), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((C, eb), lambda b, w_: (0, w_[b]), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, eb), lambda b, w_: (0, w_[b] + 1), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, wr), lambda b, w_: (0, w_[b]), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, wr), lambda b, w_: (0, w_[b] + 1), memory_space=pltpu.VMEM),
         ],
     )
     shape = jax.ShapeDtypeStruct((C, n_rank_rows), compute_dtype(vT.dtype))
     return pl.pallas_call(
-        functools.partial(_center_sum_kernel, eb=eb, passes=passes),
+        functools.partial(_center_sum_kernel, eb=eb, wr=wr, passes=passes),
         out_shape=[shape, shape],
         grid_spec=grid_spec,
         interpret=INTERPRET,
     )(win, offs_p, vT)
 
 
-def _center_broadcast_kernel(win_ref, offs_ref, aA_ref, aB_ref, out_ref, *, eb, passes=None):
+def _center_broadcast_kernel(win_ref, offs_ref, aA_ref, aB_ref, out_ref, *, eb, wr, passes=None):
     o = offs_ref[0, :]
     cdt = compute_dtype(aA_ref.dtype)
-    ii = jax.lax.broadcasted_iota(jnp.int32, (eb, eb), 0)  # [atom, edge]
     oc = o[None, :]
-    out = _onehot_dot_right(aA_ref[...].astype(cdt), ii == oc, cdt, passes)
-    out = out + _onehot_dot_right(
-        aB_ref[...].astype(cdt), ii == (oc - eb), cdt, passes
-    )
+    if 2 * wr <= 128:  # narrow windows: ONE one-hot product for the pair
+        a = jnp.concatenate(
+            [aA_ref[...].astype(cdt), aB_ref[...].astype(cdt)], axis=1
+        )  # [C, 2*wr]
+        ii = jax.lax.broadcasted_iota(jnp.int32, (2 * wr, eb), 0)  # [atom, edge]
+        out = _onehot_dot_right(a, ii == oc, cdt, passes)
+    else:
+        ii = jax.lax.broadcasted_iota(jnp.int32, (wr, eb), 0)  # [atom, edge]
+        out = _onehot_dot_right(aA_ref[...].astype(cdt), ii == oc, cdt, passes)
+        out = out + _onehot_dot_right(
+            aB_ref[...].astype(cdt), ii == (oc - wr), cdt, passes
+        )
     out_ref[...] = out.astype(out_ref.dtype)
 
 
-def center_broadcast_call(aT, offs_p, win, *, eb, Ep, passes=None):
+def center_broadcast_call(aT, offs_p, win, *, eb, Ep, wr=None, passes=None):
     """aT [C, n_rank_rows] per-rank values → per-edge [C, Ep]."""
+    wr = eb if wr is None else wr
     C = aT.shape[0]
     nb = Ep // eb
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1024,13 +1061,13 @@ def center_broadcast_call(aT, offs_p, win, *, eb, Ep, passes=None):
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((8, eb), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, eb), lambda b, w_: (0, w_[b]), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, eb), lambda b, w_: (0, w_[b] + 1), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, wr), lambda b, w_: (0, w_[b]), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, wr), lambda b, w_: (0, w_[b] + 1), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((C, eb), lambda b, w_: (0, b), memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        functools.partial(_center_broadcast_kernel, eb=eb, passes=passes),
+        functools.partial(_center_broadcast_kernel, eb=eb, wr=wr, passes=passes),
         out_shape=jax.ShapeDtypeStruct((C, Ep), compute_dtype(aT.dtype)),
         grid_spec=grid_spec,
         interpret=INTERPRET,
@@ -1044,7 +1081,7 @@ def center_broadcast_call(aT, offs_p, win, *, eb, Ep, passes=None):
 
 
 def _env_scatter_kernel(
-    win_ref, offs_ref, sh_ref, wexp_ref, outA_ref, outB_ref, *, dim_to_irr, U, eb, passes=None
+    win_ref, offs_ref, sh_ref, wexp_ref, outA_ref, outB_ref, *, dim_to_irr, U, eb, wr, passes=None
 ):
     o = offs_ref[0, :]
     d2 = len(dim_to_irr)
@@ -1057,7 +1094,7 @@ def _env_scatter_kernel(
         irr = dim_to_irr[j]
         rows.append(shT[j : j + 1, :] * wexpT[irr * U : (irr + 1) * U, :])
     vals = jnp.concatenate(rows, axis=0).T  # [eb, d2*U]
-    sa, sb = _scatter_windows(o, vals, eb, cdt, passes)
+    sa, sb = _scatter_windows(o, vals, wr, cdt, passes)
     first = _first_visit(win_ref)
 
     @pl.when(first)
@@ -1070,8 +1107,9 @@ def _env_scatter_kernel(
 
 
 def env_scatter_call(sh, wexp, offs_p, win, *, dim_to_irr, U, eb,
-                     n_rank_rows, passes=None):
+                     n_rank_rows, wr=None, passes=None):
     """sh [Ep, d2], wexp [Ep, n_irr*U] → (envA, envB) each [Na, d2*U]."""
+    wr = eb if wr is None else wr
     Ep = sh.shape[0]
     nb = Ep // eb
     d2 = len(dim_to_irr)
@@ -1086,12 +1124,12 @@ def env_scatter_call(sh, wexp, offs_p, win, *, dim_to_irr, U, eb,
             pl.BlockSpec((eb, n_irr * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wr, d2 * U), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wr, d2 * U), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
         ],
     )
     kern = functools.partial(
-        _env_scatter_kernel, dim_to_irr=tuple(dim_to_irr), U=U, eb=eb,
+        _env_scatter_kernel, dim_to_irr=tuple(dim_to_irr), U=U, eb=eb, wr=wr,
         passes=passes,
     )
     shape = jax.ShapeDtypeStruct((n_rank_rows, d2 * U), compute_dtype(sh.dtype, wexp.dtype))
@@ -1111,11 +1149,11 @@ def env_scatter_call(sh, wexp, offs_p, win, *, dim_to_irr, U, eb,
 
 
 def _gather_unweight_sh_kernel(
-    win_ref, offs_ref, tA_ref, tB_ref, wexp_ref, out_ref, *, dim_to_irr, U, eb, passes=None
+    win_ref, offs_ref, tA_ref, tB_ref, wexp_ref, out_ref, *, dim_to_irr, U, eb, wr, passes=None
 ):
     o = offs_ref[0, :]
     cdt = compute_dtype(tA_ref.dtype, wexp_ref.dtype)
-    t_eT = _gather_windows(o, tA_ref[...], tB_ref[...], eb, cdt, passes).T
+    t_eT = _gather_windows(o, tA_ref[...], tB_ref[...], wr, cdt, passes).T
     wexpT = wexp_ref[...].astype(cdt).T
     d2 = len(dim_to_irr)
     rows = []
@@ -1127,8 +1165,9 @@ def _gather_unweight_sh_kernel(
 
 
 def gather_unweight_sh_call(tA, tB, wexp, offs_p, win, *, dim_to_irr, U, eb,
-                            passes=None):
+                            wr=None, passes=None):
     """→ dsh [Ep, d2]."""
+    wr = eb if wr is None else wr
     Ep = wexp.shape[0]
     nb = Ep // eb
     d2 = len(dim_to_irr)
@@ -1138,15 +1177,15 @@ def gather_unweight_sh_call(tA, tB, wexp, offs_p, win, *, dim_to_irr, U, eb,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((8, eb), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wr, d2 * U), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wr, d2 * U), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((eb, n_irr * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((d2, eb), lambda b, w_: (0, b), memory_space=pltpu.VMEM),
     )
     kern = functools.partial(
         _gather_unweight_sh_kernel, dim_to_irr=tuple(dim_to_irr), U=U, eb=eb,
-        passes=passes,
+        wr=wr, passes=passes,
     )
     out = pl.pallas_call(
         kern,
@@ -1159,7 +1198,7 @@ def gather_unweight_sh_call(tA, tB, wexp, offs_p, win, *, dim_to_irr, U, eb,
 
 def _bwd_fused_kernel(
     win_ref, offs_ref, x_ref, g_ref, envA_ref, envB_ref, w_ref,
-    *refs, entries, dims, U, eb, n_paths, with_dw, passes=None
+    *refs, entries, dims, U, eb, wr, n_paths, with_dw, passes=None
 ):
     """One-pass backward: dx, denv (two windows), dw — sharing the g/x loads
     and the env window gather that three separate kernels would each redo
@@ -1176,7 +1215,7 @@ def _bwd_fused_kernel(
     d1, d2, d3 = dims
     o = offs_ref[0, :]
     dtype = compute_dtype(x_ref.dtype, g_ref.dtype, envA_ref.dtype)
-    env_eT = _gather_windows(o, envA_ref[...], envB_ref[...], eb, dtype, passes).T
+    env_eT = _gather_windows(o, envA_ref[...], envB_ref[...], wr, dtype, passes).T
     xT = x_ref[...].astype(dtype).T
     gT = g_ref[...].astype(dtype).T
     wT = w_ref[...].astype(dtype).T
@@ -1212,7 +1251,7 @@ def _bwd_fused_kernel(
             dw_acc[p] = red if dw_acc[p] is None else dw_acc[p] + red
 
     vals = _cat_T(denv_acc, U, eb, dtype).T  # [eb, d2*U]
-    sa, sb = _scatter_windows(o, vals, eb, dtype, passes)
+    sa, sb = _scatter_windows(o, vals, wr, dtype, passes)
     first = _first_visit(win_ref)
 
     @pl.when(first)
@@ -1235,12 +1274,13 @@ def _bwd_fused_kernel(
 
 
 def bwd_fused_call(x, g, envA, envB, w, offs_p, win, *, entries, dims, U, eb,
-                   n_rank_rows, with_dw=True, passes=None):
+                   n_rank_rows, wr=None, with_dw=True, passes=None):
     """x [Ep,d1U], g [Ep,d3U], env windows, w [P,U]
     → (dx [Ep,d1U], dA, dB [Nr,d2U], dw [P,U] | None).
 
     ``with_dw=False``: dw is neither computed nor returned (None) — for the
     force/MD path where the weight cotangent is discarded."""
+    wr = eb if wr is None else wr
     Ep = x.shape[0]
     nb = Ep // eb
     d1, d2, d3 = dims
@@ -1249,14 +1289,14 @@ def bwd_fused_call(x, g, envA, envB, w, offs_p, win, *, entries, dims, U, eb,
         pl.BlockSpec((8, eb), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((eb, d1 * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((eb, d3 * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((wr, d2 * U), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((wr, d2 * U), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
     ]
     out_specs = [
         pl.BlockSpec((eb, d1 * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((wr, d2 * U), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((wr, d2 * U), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
     ]
     cdt = compute_dtype(x.dtype, g.dtype)
     env_shape = jax.ShapeDtypeStruct((n_rank_rows, d2 * U), cdt)
@@ -1275,7 +1315,7 @@ def bwd_fused_call(x, g, envA, envB, w, offs_p, win, *, entries, dims, U, eb,
     )
     kern = functools.partial(
         _bwd_fused_kernel, entries=tuple(entries), dims=dims, U=U, eb=eb,
-        n_paths=n_paths, with_dw=with_dw, passes=passes,
+        wr=wr, n_paths=n_paths, with_dw=with_dw, passes=passes,
     )
     outs = pl.pallas_call(
         kern,
@@ -1290,7 +1330,7 @@ def bwd_fused_call(x, g, envA, envB, w, offs_p, win, *, entries, dims, U, eb,
 
 
 def _bwd_fused_raw_kernel(
-    win_ref, offs_ref, x_ref, g_ref, *refs, entries, dims, U, eb, nb,
+    win_ref, offs_ref, x_ref, g_ref, *refs, entries, dims, U, eb, wr, nb,
     passes=None, with_gts=False
 ):
     """Raw-window twin of :func:`_bwd_fused_kernel` with ``with_dw=False``
@@ -1310,7 +1350,7 @@ def _bwd_fused_raw_kernel(
     envW, envW1 = _combine_window_tiles(
         win_ref, nb, Aw_ref[...], Aw1_ref[...], Bw_ref[...], Bw1_ref[...], dtype
     )
-    env_eT = _gather_windows(o, envW, envW1, eb, dtype, passes).T
+    env_eT = _gather_windows(o, envW, envW1, wr, dtype, passes).T
     xT = x_ref[...].astype(dtype).T
     gT = g_ref[...].astype(dtype).T
     if gts_ref is not None:
@@ -1341,7 +1381,7 @@ def _bwd_fused_raw_kernel(
         denv_acc[j] = contrib if denv_acc[j] is None else denv_acc[j] + contrib
 
     vals = _cat_T(denv_acc, U, eb, dtype).T
-    sa, sb = _scatter_windows(o, vals, eb, dtype, passes)
+    sa, sb = _scatter_windows(o, vals, wr, dtype, passes)
     first = _first_visit(win_ref)
 
     @pl.when(first)
@@ -1354,10 +1394,11 @@ def _bwd_fused_raw_kernel(
 
 
 def bwd_fused_raw_call(x, g, eA, eB, w, offs_p, win, *, entries, dims, U, eb,
-                       n_rank_rows, passes=None, gts=None):
+                       n_rank_rows, wr=None, passes=None, gts=None):
     """→ (dx [Ep,d1U], dA, dB [Nr,d2U]) from the uncombined env pair.
     ``gts`` [Ep, U]: cotangent of the split scalar output, folded into g's
     leading-0e columns in VMEM."""
+    wr = eb if wr is None else wr
     Ep = x.shape[0]
     nb = Ep // eb
     d1, d2, d3 = dims
@@ -1372,7 +1413,7 @@ def bwd_fused_raw_call(x, g, eA, eB, w, offs_p, win, *, entries, dims, U, eb,
             pl.BlockSpec((eb, U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM)
         )
         args.append(gts)
-    in_specs.extend(_env_pair_specs(d2 * U, eb))
+    in_specs.extend(_env_pair_specs(d2 * U, wr))
     in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     args.extend([eA, eA, eB, eB, w])
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1381,13 +1422,13 @@ def bwd_fused_raw_call(x, g, eA, eB, w, offs_p, win, *, entries, dims, U, eb,
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((eb, d1 * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wr, d2 * U), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wr, d2 * U), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
         ],
     )
     kern = functools.partial(
         _bwd_fused_raw_kernel, entries=tuple(entries), dims=dims, U=U, eb=eb,
-        nb=nb, passes=passes, with_gts=gts is not None,
+        wr=wr, nb=nb, passes=passes, with_gts=gts is not None,
     )
     cdt = compute_dtype(x.dtype, g.dtype)
     env_shape = jax.ShapeDtypeStruct((n_rank_rows, d2 * U), cdt)
@@ -1405,14 +1446,14 @@ def bwd_fused_raw_call(x, g, eA, eB, w, offs_p, win, *, entries, dims, U, eb,
 
 def _unweight_both_raw_kernel(
     win_ref, offs_ref, tAw_ref, tAw1_ref, tBw_ref, tBw1_ref, sh_ref, wexp_ref,
-    dsh_ref, dwexp_ref, *, dim_to_irr, U, eb, nb, passes=None
+    dsh_ref, dwexp_ref, *, dim_to_irr, U, eb, wr, nb, passes=None
 ):
     o = offs_ref[0, :]
     dtype = compute_dtype(tAw_ref.dtype, wexp_ref.dtype, sh_ref.dtype)
     tW, tW1 = _combine_window_tiles(
         win_ref, nb, tAw_ref[...], tAw1_ref[...], tBw_ref[...], tBw1_ref[...], dtype
     )
-    t_eT = _gather_windows(o, tW, tW1, eb, dtype, passes).T
+    t_eT = _gather_windows(o, tW, tW1, wr, dtype, passes).T
     wexpT = wexp_ref[...].astype(dtype).T
     shT = sh_ref[...].astype(dtype)  # operand pre-transposed [d2, eb]
     d2 = len(dim_to_irr)
@@ -1432,8 +1473,9 @@ def _unweight_both_raw_kernel(
 
 
 def unweight_both_raw_call(tA, tB, sh, wexp, offs_p, win, *, dim_to_irr, U,
-                           eb, passes=None):
+                           eb, wr=None, passes=None):
     """→ (dsh [Ep, d2], dwexp [Ep, n_irr*U]) from the uncombined denv pair."""
+    wr = eb if wr is None else wr
     Ep = sh.shape[0]
     nb = Ep // eb
     d2 = len(dim_to_irr)
@@ -1444,7 +1486,7 @@ def unweight_both_raw_call(tA, tB, sh, wexp, offs_p, win, *, dim_to_irr, U,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((8, eb), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
-            *_env_pair_specs(d2 * U, eb),
+            *_env_pair_specs(d2 * U, wr),
             pl.BlockSpec((d2, eb), lambda b, w_: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((eb, n_irr * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
         ],
@@ -1455,7 +1497,7 @@ def unweight_both_raw_call(tA, tB, sh, wexp, offs_p, win, *, dim_to_irr, U,
     )
     kern = functools.partial(
         _unweight_both_raw_kernel, dim_to_irr=tuple(dim_to_irr), U=U, eb=eb,
-        nb=nb, passes=passes,
+        wr=wr, nb=nb, passes=passes,
     )
     dshT, dwexp = pl.pallas_call(
         kern,
@@ -1471,12 +1513,12 @@ def unweight_both_raw_call(tA, tB, sh, wexp, offs_p, win, *, dim_to_irr, U,
 
 def _unweight_both_kernel(
     win_ref, offs_ref, tA_ref, tB_ref, sh_ref, wexp_ref, dsh_ref, dwexp_ref,
-    *, dim_to_irr, U, eb, passes=None
+    *, dim_to_irr, U, eb, wr, passes=None
 ):
     """dsh and dwexp in one pass (shared denv-window gather)."""
     o = offs_ref[0, :]
     dtype = compute_dtype(tA_ref.dtype, wexp_ref.dtype, sh_ref.dtype)
-    t_eT = _gather_windows(o, tA_ref[...], tB_ref[...], eb, dtype, passes).T
+    t_eT = _gather_windows(o, tA_ref[...], tB_ref[...], wr, dtype, passes).T
     wexpT = wexp_ref[...].astype(dtype).T
     shT = sh_ref[...].astype(dtype)  # operand pre-transposed [d2, eb]
     d2 = len(dim_to_irr)
@@ -1496,8 +1538,9 @@ def _unweight_both_kernel(
 
 
 def unweight_both_call(tA, tB, sh, wexp, offs_p, win, *, dim_to_irr, U, eb,
-                       passes=None):
+                       wr=None, passes=None):
     """→ (dsh [Ep, d2], dwexp [Ep, n_irr*U])."""
+    wr = eb if wr is None else wr
     Ep = sh.shape[0]
     nb = Ep // eb
     d2 = len(dim_to_irr)
@@ -1508,8 +1551,8 @@ def unweight_both_call(tA, tB, sh, wexp, offs_p, win, *, dim_to_irr, U, eb,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((8, eb), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wr, d2 * U), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wr, d2 * U), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((d2, eb), lambda b, w_: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((eb, n_irr * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
         ],
@@ -1519,7 +1562,7 @@ def unweight_both_call(tA, tB, sh, wexp, offs_p, win, *, dim_to_irr, U, eb,
         ],
     )
     kern = functools.partial(
-        _unweight_both_kernel, dim_to_irr=tuple(dim_to_irr), U=U, eb=eb,
+        _unweight_both_kernel, dim_to_irr=tuple(dim_to_irr), U=U, eb=eb, wr=wr,
         passes=passes,
     )
     dshT, dwexp = pl.pallas_call(
@@ -1535,11 +1578,11 @@ def unweight_both_call(tA, tB, sh, wexp, offs_p, win, *, dim_to_irr, U, eb,
 
 
 def _gather_unweight_w_kernel(
-    win_ref, offs_ref, tA_ref, tB_ref, sh_ref, out_ref, *, dim_to_irr, U, eb, passes=None
+    win_ref, offs_ref, tA_ref, tB_ref, sh_ref, out_ref, *, dim_to_irr, U, eb, wr, passes=None
 ):
     o = offs_ref[0, :]
     cdt = compute_dtype(tA_ref.dtype, sh_ref.dtype)
-    t_eT = _gather_windows(o, tA_ref[...], tB_ref[...], eb, cdt, passes).T
+    t_eT = _gather_windows(o, tA_ref[...], tB_ref[...], wr, cdt, passes).T
     shT = sh_ref[...].astype(cdt)  # operand pre-transposed [d2, eb]
     n_irr = max(dim_to_irr) + 1
     acc = [None] * n_irr
@@ -1550,10 +1593,11 @@ def _gather_unweight_w_kernel(
 
 
 def gather_unweight_w_call(tA, tB, sh, offs_p, win, *, dim_to_irr, U, eb,
-                           out_dtype=None, passes=None):
+                           wr=None, out_dtype=None, passes=None):
     """→ dwexp [Ep, n_irr*U]. ``out_dtype``: the wexp STORAGE dtype (not
     inferable from the inputs in mixed-precision mode); defaults to the
     compute dtype."""
+    wr = eb if wr is None else wr
     Ep = sh.shape[0]
     nb = Ep // eb
     d2 = len(dim_to_irr)
@@ -1564,15 +1608,15 @@ def gather_unweight_w_call(tA, tB, sh, offs_p, win, *, dim_to_irr, U, eb,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((8, eb), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wr, d2 * U), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wr, d2 * U), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((d2, eb), lambda b, w_: (0, b), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((eb, n_irr * U), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
     )
     kern = functools.partial(
         _gather_unweight_w_kernel, dim_to_irr=tuple(dim_to_irr), U=U, eb=eb,
-        passes=passes,
+        wr=wr, passes=passes,
     )
     return pl.pallas_call(
         kern,
@@ -1647,7 +1691,7 @@ def _mlp_lat(piece_vals, w0_ref, w1_ref, piece_dims, n_hidden, dtype, passes=6):
 
 
 def _latent_env_scatter_kernel(
-    win_ref, offs_ref, *refs, piece_dims, dim_to_irr, U, eb, S, n_hidden,
+    win_ref, offs_ref, *refs, piece_dims, dim_to_irr, U, eb, wr, S, n_hidden,
     wexp_dtype, mlp_passes, passes=None
 ):
     np_ = len(piece_dims)
@@ -1675,7 +1719,7 @@ def _latent_env_scatter_kernel(
         irr = dim_to_irr[j]
         rows.append(shT[j : j + 1, :] * wexpT[irr * U : (irr + 1) * U, :])
     vals = jnp.concatenate(rows, axis=0).T  # [eb, d2*U]
-    sa, sb = _scatter_windows(o, vals, eb, cdt, passes)
+    sa, sb = _scatter_windows(o, vals, wr, cdt, passes)
     first = _first_visit(win_ref)
 
     @pl.when(first)
@@ -1689,11 +1733,12 @@ def _latent_env_scatter_kernel(
 
 def latent_env_scatter_call(
     pieces, sh, w0, w1, offs_p, win, *, dim_to_irr, U, eb, n_rank_rows, S,
-    n_hidden, wexp_dtype=None, mlp_passes=6, passes=None
+    n_hidden, wr=None, wexp_dtype=None, mlp_passes=6, passes=None
 ):
     """pieces (tuple of [Ep, d_i]), sh [Ep, d2], w0 [Σd_i, H], w1 [H, S+nI*U]
     (or w1=None with n_hidden=0 and w0 [Σd_i, S+nI*U])
     → (lat_scalars [Ep, S], eA, eB [Nr, d2*U])."""
+    wr = eb if wr is None else wr
     Ep = sh.shape[0]
     nb = Ep // eb
     d2 = len(dim_to_irr)
@@ -1717,8 +1762,8 @@ def latent_env_scatter_call(
         args.append(w1)
     out_specs = [
         pl.BlockSpec((eb, S), lambda b, w_: (b, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((eb, d2 * U), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((wr, d2 * U), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((wr, d2 * U), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
     ]
     cdt = compute_dtype(*(p.dtype for p in pieces))
     env_shape = jax.ShapeDtypeStruct((n_rank_rows, d2 * U), cdt)
@@ -1727,7 +1772,7 @@ def latent_env_scatter_call(
     )
     kern = functools.partial(
         _latent_env_scatter_kernel, piece_dims=piece_dims,
-        dim_to_irr=tuple(dim_to_irr), U=U, eb=eb, S=S, n_hidden=n_hidden,
+        dim_to_irr=tuple(dim_to_irr), U=U, eb=eb, wr=wr, S=S, n_hidden=n_hidden,
         wexp_dtype=wexp_dtype, mlp_passes=mlp_passes, passes=passes,
     )
     return pl.pallas_call(
@@ -1739,7 +1784,7 @@ def latent_env_scatter_call(
 
 
 def _readout_sum_kernel(
-    win_ref, offs_ref, *refs, piece_dims, eb, n_hidden, mlp_passes,
+    win_ref, offs_ref, *refs, piece_dims, eb, wr, n_hidden, mlp_passes,
     passes=None
 ):
     """Readout MLP + per-atom energy scatter in one pass: the hidden
@@ -1757,7 +1802,7 @@ def _readout_sum_kernel(
         [r[...] for r in piece_refs], w0_ref, w1_ref, piece_dims, n_hidden,
         cdt, mlp_passes,
     )  # [eb, 1]
-    sa, sb = _scatter_windows(o, e, eb, cdt, passes)
+    sa, sb = _scatter_windows(o, e, wr, cdt, passes)
     first = _first_visit(win_ref)
 
     @pl.when(first)
@@ -1770,10 +1815,11 @@ def _readout_sum_kernel(
 
 
 def readout_sum_call(pieces, w0, w1, offs_p, win, *, eb, n_rank_rows,
-                     n_hidden, mlp_passes=6, passes=None):
+                     n_hidden, wr=None, mlp_passes=6, passes=None):
     """pieces (tuple of [Ep, S_i]), w0 [ΣS_i, H], w1 [H, 1] (or w1=None,
     n_hidden=0, w0 [ΣS_i, 1]) → (eA, eB) per-atom energy window partials
     [Nr, 1]; combine + slice [:n_atoms] outside."""
+    wr = eb if wr is None else wr
     Ep = pieces[0].shape[0]
     nb = Ep // eb
     piece_dims = tuple(int(p.shape[1]) for p in pieces)
@@ -1788,8 +1834,8 @@ def readout_sum_call(pieces, w0, w1, offs_p, win, *, eb, n_rank_rows,
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # w1
         args.append(w1)
     out_specs = [
-        pl.BlockSpec((eb, 1), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((eb, 1), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((wr, 1), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((wr, 1), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM),
     ]
     cdt = compute_dtype(*(p.dtype for p in pieces))
     shape = jax.ShapeDtypeStruct((n_rank_rows, 1), cdt)
@@ -1797,8 +1843,8 @@ def readout_sum_call(pieces, w0, w1, offs_p, win, *, eb, n_rank_rows,
         num_scalar_prefetch=1, grid=(nb,), in_specs=in_specs, out_specs=out_specs
     )
     kern = functools.partial(
-        _readout_sum_kernel, piece_dims=piece_dims, eb=eb, n_hidden=n_hidden,
-        mlp_passes=mlp_passes, passes=passes,
+        _readout_sum_kernel, piece_dims=piece_dims, eb=eb, wr=wr,
+        n_hidden=n_hidden, mlp_passes=mlp_passes, passes=passes,
     )
     return pl.pallas_call(
         kern,
@@ -1809,7 +1855,7 @@ def readout_sum_call(pieces, w0, w1, offs_p, win, *, eb, n_rank_rows,
 
 
 def _readout_bwd_kernel(
-    win_ref, offs_ref, *refs, piece_dims, eb, n_hidden, mlp_passes,
+    win_ref, offs_ref, *refs, piece_dims, eb, wr, n_hidden, mlp_passes,
     passes=None
 ):
     """Backward of the fused readout: gathers the per-atom energy cotangent
@@ -1829,7 +1875,7 @@ def _readout_bwd_kernel(
     piece_vals = [r[...] for r in piece_refs]
     pre, _ = _mlp_lat(piece_vals, w0_ref, w1_ref, piece_dims, n_hidden, cdt,
                       mlp_passes)
-    e_ct = _gather_windows(o, yA_ref[...], yB_ref[...], eb, cdt, passes)  # [eb, 1]
+    e_ct = _gather_windows(o, yA_ref[...], yB_ref[...], wr, cdt, passes)  # [eb, 1]
     _dn_t = (((1,), (1,)), ((), ()))
     if n_hidden:
         dh = _mlp_dot(e_ct, w1_ref[...].astype(cdt), cdt, mlp_passes, dn=_dn_t)
@@ -1846,8 +1892,9 @@ def _readout_bwd_kernel(
 
 
 def readout_bwd_call(pieces, w0, w1, y_ct, offs_p, win, *, eb, n_hidden,
-                     mlp_passes=6, passes=None):
+                     wr=None, mlp_passes=6, passes=None):
     """y_ct [Nr, 1] per-rank-row cotangent → dpieces tuple [Ep, S_i]."""
+    wr = eb if wr is None else wr
     Ep = pieces[0].shape[0]
     nb = Ep // eb
     piece_dims = tuple(int(p.shape[1]) for p in pieces)
@@ -1863,10 +1910,10 @@ def readout_bwd_call(pieces, w0, w1, y_ct, offs_p, win, *, eb, n_hidden,
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # w1
         args.append(w1)
     in_specs.append(
-        pl.BlockSpec((eb, 1), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((wr, 1), lambda b, w_: (w_[b], 0), memory_space=pltpu.VMEM)
     )
     in_specs.append(
-        pl.BlockSpec((eb, 1), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((wr, 1), lambda b, w_: (w_[b] + 1, 0), memory_space=pltpu.VMEM)
     )
     args.extend([y_ct, y_ct])
     out_specs = []
@@ -1880,8 +1927,8 @@ def readout_bwd_call(pieces, w0, w1, y_ct, offs_p, win, *, eb, n_hidden,
         num_scalar_prefetch=1, grid=(nb,), in_specs=in_specs, out_specs=out_specs
     )
     kern = functools.partial(
-        _readout_bwd_kernel, piece_dims=piece_dims, eb=eb, n_hidden=n_hidden,
-        mlp_passes=mlp_passes, passes=passes,
+        _readout_bwd_kernel, piece_dims=piece_dims, eb=eb, wr=wr,
+        n_hidden=n_hidden, mlp_passes=mlp_passes, passes=passes,
     )
     outs = pl.pallas_call(
         kern,
@@ -1893,7 +1940,7 @@ def readout_bwd_call(pieces, w0, w1, y_ct, offs_p, win, *, eb, n_hidden,
 
 
 def _latent_env_bwd_kernel(
-    win_ref, offs_ref, *refs, piece_dims, dim_to_irr, U, eb, S, n_hidden,
+    win_ref, offs_ref, *refs, piece_dims, dim_to_irr, U, eb, wr, S, n_hidden,
     wexp_dtype, nb, mlp_passes, passes=None
 ):
     """Backward of the mega kernel: recomputes the MLP forward from the saved
@@ -1923,7 +1970,7 @@ def _latent_env_bwd_kernel(
     tW, tW1 = _combine_window_tiles(
         win_ref, nb, tAw_ref[...], tAw1_ref[...], tBw_ref[...], tBw1_ref[...], cdt
     )
-    t_eT = _gather_windows(o, tW, tW1, eb, cdt, passes).T
+    t_eT = _gather_windows(o, tW, tW1, wr, cdt, passes).T
     shT = sh_ref[...].astype(cdt)
     wexpT = wexp.T
     d2 = len(dim_to_irr)
@@ -1959,10 +2006,11 @@ def _latent_env_bwd_kernel(
 
 def latent_env_bwd_call(
     pieces, sh, w0, w1, dA, dB, g_lat, offs_p, win, *, dim_to_irr, U, eb, S,
-    n_hidden, wexp_dtype=None, mlp_passes=6, passes=None
+    n_hidden, wr=None, wexp_dtype=None, mlp_passes=6, passes=None
 ):
     """→ (dsh [Ep, d2], dpieces tuple) from the raw denv pair + lat-scalar
     cotangent."""
+    wr = eb if wr is None else wr
     Ep = sh.shape[0]
     nb = Ep // eb
     d2 = len(dim_to_irr)
@@ -1982,7 +2030,7 @@ def latent_env_bwd_call(
     if n_hidden:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # w1
         args.append(w1)
-    in_specs.extend(_env_pair_specs(d2 * U, eb))
+    in_specs.extend(_env_pair_specs(d2 * U, wr))
     in_specs.append(
         pl.BlockSpec((eb, S), lambda b, w_: (b, 0), memory_space=pltpu.VMEM)
     )
@@ -2001,7 +2049,7 @@ def latent_env_bwd_call(
     )
     kern = functools.partial(
         _latent_env_bwd_kernel, piece_dims=piece_dims,
-        dim_to_irr=tuple(dim_to_irr), U=U, eb=eb, S=S, n_hidden=n_hidden,
+        dim_to_irr=tuple(dim_to_irr), U=U, eb=eb, wr=wr, S=S, n_hidden=n_hidden,
         wexp_dtype=wexp_dtype, nb=nb, mlp_passes=mlp_passes, passes=passes,
     )
     outs = pl.pallas_call(
