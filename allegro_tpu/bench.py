@@ -317,7 +317,12 @@ def run_benchmark(n_atoms=4096, r_max=4.0, iters=None, warmup=3, verbose=False, 
         "num_tensor_features": 32,
         "backend": backend,
         "remat": bool(remat_flag),
-        "tensor_dtype": tensor_dtype or "float32",
+        # report the RESOLVED storage dtype: _flagship_model falls back to
+        # the BENCH_TENSOR_DTYPE env var when the local choice is None, and
+        # the JSON must describe what actually ran
+        "tensor_dtype": str(
+            (model.builder_kwargs or {}).get("tensor_dtype") or "float32"
+        ),
         "step_ms": round(dt * 1e3, 3),
         "fwd_ms": round(fwd_ms, 3) if fwd_ms is not None else None,
         "copy_GBps": round(copy_gbps, 1) if copy_gbps is not None else None,

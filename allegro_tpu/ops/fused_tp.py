@@ -1802,7 +1802,15 @@ def _readout_sum_kernel(
         [r[...] for r in piece_refs], w0_ref, w1_ref, piece_dims, n_hidden,
         cdt, mlp_passes,
     )  # [eb, 1]
-    sa, sb = _scatter_windows(o, e, wr, cdt, passes)
+    # [*, 1] energy column: a one-hot MXU product pads the single column to
+    # 128 lanes (several wasted tiles per exact pass); a masked VPU
+    # reduction does the whole scatter in a couple of passes over
+    # [2*wr, eb] — and a where-select + f32 row sum is exact
+    m = e.shape[0]
+    ii = jax.lax.broadcasted_iota(jnp.int32, (2 * wr, m), 0)
+    sel = jnp.where(ii == o[None, :], e[:, 0][None, :], jnp.zeros((), cdt))
+    s = jnp.sum(sel, axis=1, keepdims=True)  # [2*wr, 1]
+    sa, sb = s[:wr], s[wr:]
     first = _first_visit(win_ref)
 
     @pl.when(first)
@@ -1875,7 +1883,15 @@ def _readout_bwd_kernel(
     piece_vals = [r[...] for r in piece_refs]
     pre, _ = _mlp_lat(piece_vals, w0_ref, w1_ref, piece_dims, n_hidden, cdt,
                       mlp_passes)
-    e_ct = _gather_windows(o, yA_ref[...], yB_ref[...], wr, cdt, passes)  # [eb, 1]
+    # [*, 1] cotangent column: VPU masked select + lane reduce instead of a
+    # lane-padded one-hot MXU gather (each row has exactly one hit — exact)
+    m = piece_vals[0].shape[0]
+    y = jnp.concatenate([yA_ref[...], yB_ref[...]], axis=0)[:, 0]  # [2*wr]
+    ii = jax.lax.broadcasted_iota(jnp.int32, (m, 2 * wr), 1)
+    e_ct = jnp.sum(
+        jnp.where(ii == o[:, None], y[None, :].astype(cdt), jnp.zeros((), cdt)),
+        axis=1, keepdims=True,
+    )  # [eb, 1]
     _dn_t = (((1,), (1,)), ((), ()))
     if n_hidden:
         dh = _mlp_dot(e_ct, w1_ref[...].astype(cdt), cdt, mlp_passes, dn=_dn_t)

@@ -9,7 +9,13 @@ bit-identical in interpret mode, tests/model/test_window_rows.py); this
 probe answers whether the chip agrees it is faster on the kernels the
 round-4 trace says dominate (mega layer body, gather_tp_raw, bwd_fused_raw).
 
-Usage: python scripts/probe_wr.py [n_atoms]
+Round-4 follow-up: per-kernel time is ~0.9 us/block across kernels with very
+different I/O — a fixed per-grid-step cost plus O(eb) one-hot MACs/edge.
+eb=256 alone was a wash (half the blocks, double the MACs/edge); eb=256 with
+wr=64 halves BOTH. Pass (eb, wr) pairs to race:
+
+Usage: python scripts/probe_wr.py [n_atoms] [eb:wr ...]
+       python scripts/probe_wr.py 4096 128:128 256:64 512:64
 """
 
 import os
@@ -30,11 +36,14 @@ from allegro_tpu.ops.pallas_contract import sparse_entries
 from allegro_tpu.utils.chiplock import chip_lock
 
 N_ATOMS = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
-EB = 128
+PAIRS = [tuple(int(x) for x in a.split(":")) for a in sys.argv[2:]] or [
+    (128, 128), (128, 64), (256, 64), (512, 64)
+]
+EB0 = max(eb for eb, _ in PAIRS)  # pad edges to the largest eb raced
 U = 32
 AVG_NEIGH = 25.3
 E = int(N_ATOMS * AVG_NEIGH)
-Ep = -(-E // EB) * EB
+Ep = -(-E // EB0) * EB0
 ITERS = 30
 PASSES = 2  # headline policy
 
@@ -72,7 +81,8 @@ def device_time(name, fn, *args, iters=ITERS):
 
 
 def main():
-    print(f"device={jax.devices()[0]}  N={N_ATOMS} E={E} Ep={Ep} EB={EB} U={U}")
+    print(f"device={jax.devices()[0]}  N={N_ATOMS} E={E} Ep={Ep} "
+          f"pairs={PAIRS} U={U}")
     irreps_sh = Irreps("1x0e+1x1o+1x2e")
     allowed = Irreps("1x0e+1x0o+1x1e+1x1o+1x2e+1x2o")
     ladder = compute_irreps_ladder(irreps_sh, allowed, 2)
@@ -106,19 +116,25 @@ def main():
     w1 = jnp.asarray(rng.randn(H, S + n_irr * U) * 0.1, jnp.float32)
 
     results = {}
-    for wr in (EB, 64):
-        win_np, offs_np, Ep2 = fused_tp.make_block_plan_np(
-            centers_np, EB, N_ATOMS, wr=wr
-        )
-        assert Ep2 == Ep
+    outs = {}
+    g_lat = jnp.asarray(rng.randn(Ep, S), jnp.float32)
+    for eb, wr in PAIRS:
+        try:
+            win_np, offs_np, Ep2 = fused_tp.make_block_plan_np(
+                centers_np, eb, N_ATOMS, wr=wr
+            )
+        except ValueError as e:
+            print(f"--- eb={eb} wr={wr}: plan invalid ({e})")
+            continue
+        assert Ep2 == Ep, (Ep2, Ep)
         win = jnp.asarray(win_np)
         offs = jnp.asarray(offs_np)
         nr = fused_tp.num_rank_rows(N_ATOMS, wr)
-        print(f"--- wr={wr} (n_rank_rows={nr}) ---")
+        print(f"--- eb={eb} wr={wr} (n_rank_rows={nr}) ---")
 
-        def env_fwd(sh, wexp, *, offs=offs, win=win, wr=wr, nr=nr):
+        def env_fwd(sh, wexp, *, offs=offs, win=win, eb=eb, wr=wr, nr=nr):
             return fused_tp.env_scatter_call(
-                sh, wexp, offs, win, dim_to_irr=dim_to_irr, U=U, eb=EB,
+                sh, wexp, offs, win, dim_to_irr=dim_to_irr, U=U, eb=eb,
                 n_rank_rows=nr, wr=wr, passes=PASSES,
             )
 
@@ -126,62 +142,64 @@ def main():
         r = {}
         r["env_scatter"] = device_time("env_scatter", env_fwd, sh, wexp)
 
-        def gtp(x, eA, eB_, *, offs=offs, win=win, wr=wr):
+        def gtp(x, eA, eB_, *, offs=offs, win=win, eb=eb, wr=wr):
             return fused_tp.gather_tp_raw_call(
                 x, eA, eB_, wmat, offs, win, entries=entries, dims=dims, U=U,
-                eb=EB, wr=wr, passes=PASSES, split_scalars=True,
+                eb=eb, wr=wr, passes=PASSES, split_scalars=True,
             )
 
         r["gather_tp_raw"] = device_time("gather_tp_raw(split)", gtp, x, eA, eB_)
         out = gtp(x, eA, eB_)
-        results.setdefault("out", {})[wr] = np.asarray(out[0][:E])
+        outs[(eb, wr)] = np.asarray(out[0][:E])
 
-        def bwd(x, g, eA, eB_, *, offs=offs, win=win, wr=wr, nr=nr):
+        def bwd(x, g, eA, eB_, *, offs=offs, win=win, eb=eb, wr=wr, nr=nr):
             return fused_tp.bwd_fused_raw_call(
                 x, g, eA, eB_, wmat, offs, win, entries=entries, dims=dims,
-                U=U, eb=EB, n_rank_rows=nr, wr=wr, passes=PASSES,
+                U=U, eb=eb, n_rank_rows=nr, wr=wr, passes=PASSES,
             )
 
         r["bwd_fused_raw"] = device_time("bwd_fused_raw", bwd, x, g, eA, eB_)
         dx, dA, dB = bwd(x, g, eA, eB_)
 
-        def unw(dA, dB, sh, wexp, *, offs=offs, win=win, wr=wr):
+        def unw(dA, dB, sh, wexp, *, offs=offs, win=win, eb=eb, wr=wr):
             return fused_tp.unweight_both_raw_call(
                 dA, dB, sh, wexp, offs, win, dim_to_irr=dim_to_irr, U=U,
-                eb=EB, wr=wr, passes=PASSES,
+                eb=eb, wr=wr, passes=PASSES,
             )
 
         r["unweight_both_raw"] = device_time("unweight_both_raw", unw, dA, dB, sh, wexp)
 
-        def mega(p0, p1, sh, *, offs=offs, win=win, wr=wr, nr=nr):
+        def mega(p0, p1, sh, *, offs=offs, win=win, eb=eb, wr=wr, nr=nr):
             return fused_tp.latent_env_scatter_call(
                 (p0, p1), sh, w0, w1, offs, win, dim_to_irr=dim_to_irr, U=U,
-                eb=EB, n_rank_rows=nr, S=S, n_hidden=1, wr=wr, mlp_passes=3,
+                eb=eb, n_rank_rows=nr, S=S, n_hidden=1, wr=wr, mlp_passes=3,
                 passes=PASSES,
             )
 
         r["mega_fwd"] = device_time("mega latent_env_scatter", mega, p0, p1, sh)
-        lat, mA, mB = mega(p0, p1, sh)
-        g_lat = jnp.asarray(rng.randn(Ep, S), jnp.float32)
 
-        def megab(p0, p1, sh, dA, dB, g_lat, *, offs=offs, win=win, wr=wr):
+        def megab(p0, p1, sh, dA, dB, g_lat, *, offs=offs, win=win, eb=eb, wr=wr):
             return fused_tp.latent_env_bwd_call(
                 (p0, p1), sh, w0, w1, dA, dB, g_lat, offs, win,
-                dim_to_irr=dim_to_irr, U=U, eb=EB, S=S, n_hidden=1, wr=wr,
+                dim_to_irr=dim_to_irr, U=U, eb=eb, S=S, n_hidden=1, wr=wr,
                 mlp_passes=3, passes=PASSES,
             )
 
         r["mega_bwd"] = device_time("mega latent_env_bwd", megab, p0, p1, sh, dA, dB, g_lat)
-        results[wr] = r
+        results[(eb, wr)] = r
 
-    # cross-plan correctness (same math, different blocking)
-    d = np.abs(results["out"][EB] - results["out"][64])
-    denom = max(float(np.abs(results["out"][EB]).max()), 1e-9)
-    print(f"cross-plan gather_tp_raw rel diff: {d.max() / denom:.2e}")
-    tot128 = sum(v for v in results[EB].values() if v)
-    tot64 = sum(v for v in results[64].values() if v)
-    print(f"TOTAL wr=128: {tot128:.3f} ms   wr=64: {tot64:.3f} ms   "
-          f"speedup {tot128 / max(tot64, 1e-9):.3f}x")
+    # cross-plan correctness (same math, different blocking) + totals
+    base = PAIRS[0]
+    tot0 = sum(v for v in results[base].values() if v)
+    denom = max(float(np.abs(outs[base]).max()), 1e-9)
+    print(f"TOTAL eb={base[0]} wr={base[1]}: {tot0:.3f} ms (baseline)")
+    for pair in PAIRS[1:]:
+        if pair not in results:
+            continue
+        d = float(np.abs(outs[base] - outs[pair]).max()) / denom
+        tot = sum(v for v in results[pair].values() if v)
+        print(f"TOTAL eb={pair[0]} wr={pair[1]}: {tot:.3f} ms  "
+              f"speedup {tot0 / max(tot, 1e-9):.3f}x  rel_diff {d:.2e}")
 
 
 if __name__ == "__main__":
