@@ -66,7 +66,7 @@ def _crystal_frame(n_atoms, r_max, seed=0):
 
 
 def _flagship_model(avg_num_neighbors, backend, r_max=4.0, remat=False,
-                    tensor_dtype=None, precision=None):
+                    tensor_dtype=None, precision=None, fused_eb=None):
     from allegro_tpu.model import AllegroModel
 
     if tensor_dtype is None:
@@ -78,6 +78,18 @@ def _flagship_model(avg_num_neighbors, backend, r_max=4.0, remat=False,
         precision = os.environ.get("BENCH_PRECISION") or None
     if precision:
         extra["precision"] = precision
+    # eb=512 + wr=64: big edge blocks amortize the per-grid-step cost and
+    # the narrow window keeps every one-hot product at one MXU K-tile
+    # (1.27x over eb=128 classic on the kernel suite, scripts/probe_wr.py).
+    # precompute_statics silently degrades wr to eb if the edge distribution
+    # rejects the narrow plan (never at crystal density).
+    extra["fused_block_edges"] = fused_eb or int(
+        os.environ.get("BENCH_FUSED_EB", "512")
+    )
+    wr_env = int(os.environ.get("BENCH_WINDOW_ROWS", "64")) or None
+    extra["window_rows"] = (
+        wr_env if wr_env and wr_env < extra["fused_block_edges"] else None
+    )
     return AllegroModel(
         **_FLAGSHIP,
         **extra,
@@ -119,7 +131,15 @@ def run_benchmark(n_atoms=4096, r_max=4.0, iters=None, warmup=3, verbose=False, 
             f"in {time.time() - t0:.1f}s",
             file=sys.stderr,
         )
-    batch = to_jax(batch_frames([frame], n_frames=1), dtype=np.float32)
+    # pad edges to the fused edge-block multiple AT BATCH TIME so the model
+    # never pays in-graph pads/slices on the per-edge arrays (E == Ep)
+    eb_pad = int(os.environ.get("BENCH_FUSED_EB", "512"))
+    batch = to_jax(
+        batch_frames(
+            [frame], n_frames=1, edge_multiple=max(eb_pad, 128)
+        ),
+        dtype=np.float32,
+    )
 
     if backend is None:
         backend = os.environ.get("BENCH_BACKEND")
@@ -340,6 +360,12 @@ def run_benchmark(n_atoms=4096, r_max=4.0, iters=None, warmup=3, verbose=False, 
         "fused_readout": bool(readout_on),
         "embed_fused_l0": bool(embed_l0_on),
         "fused_block_edges": _fused_eb(model),
+        # the wr actually in force (plan-validated; None = classic wr = eb)
+        "window_rows": (
+            int(batch[keys.FUSED_WR].shape[0])
+            if keys.FUSED_WR in batch
+            else None
+        ),
         "features_layout": (model.builder_kwargs or {}).get("features_layout")
         or "strided",
         "device": str(jax.devices()[0]),

@@ -46,6 +46,14 @@ EDGE_ENERGY = "edge_energy"           # [E, 1]
 # step doesn't re-derive them every MD step) ---
 FUSED_OFFS = "fused_offs"             # [NB*8, eb] int32 — fused-kernel block plan
 FUSED_WIN = "fused_win"               # [NB] int32 — fused-kernel window indices
+FUSED_WR = "fused_wr"                 # [wr] int32 zeros — window row-block size
+#   encoded in the SHAPE (static at trace time); absent → wr = eb. Travels
+#   WITH the plan arrays so a narrow-window plan can never be misread by a
+#   model traced for the classic one.
+FUSED_OFFS_EB = "fused_offs_eb"       # classic (wr = eb) twin plan, present
+FUSED_WIN_EB = "fused_win_eb"         # only when FUSED_WR is armed: the
+#   center ops put windows on the LANE axis, where a wr < 128 block is
+#   tile-illegal on TPU — they always ride the classic plan.
 # presence marker (value unused): edge centers cover atoms 0..max contiguously,
 # so rank row r == atom r and the rank-window kernels can serve atom-indexed
 # gather/scatter (forces accumulation, energy reduction)

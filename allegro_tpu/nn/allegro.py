@@ -105,6 +105,17 @@ PACKED_ENV_VARIANT = "edge_major"
 # (serialized into artifacts/rebuilds; VERDICT r3 #9), which wins over this.
 FUSED_BLOCK_EDGES = int(os.environ.get("ALLEGRO_FUSED_EB", "128"))
 
+# window row-block size of the block plan (None/0 = eb, the classic plan,
+# valid for ANY edge distribution). wr < eb narrows the window pair to one
+# <=128-row MXU operand per one-hot product; combined with a big eb it also
+# amortizes per-grid-step overheads (eb=512/wr=64: 1.27x over eb=128 classic
+# at flagship density, scripts/probe_wr.py). Validity depends on the edge
+# distribution: Model.precompute_statics validates on host and silently
+# degrades to wr = eb; the wr actually in force travels with the plan
+# (shape of data[FUSED_WR]). Process default only — the builder kwarg
+# ``window_rows`` wins.
+WINDOW_ROWS = int(os.environ.get("ALLEGRO_WINDOW_ROWS", "0")) or None
+
 
 class AllegroLayers(nn.Module):
     """Consumes EDGE_EMBEDDING/EDGE_ATTRS/EDGE_FEATURES, writes EDGE_SCALARS."""
@@ -252,6 +263,7 @@ class AllegroLayers(nn.Module):
                 features = features.transpose(0, 2, 1).reshape(Ep, d1 * U)
             if self.tensor_dtype is not None:
                 features = features.astype(jnp.dtype(self.tensor_dtype))
+            wr = None
             if (
                 keys.FUSED_OFFS in data
                 and data[keys.FUSED_OFFS].shape == (Ep // eb * 8, eb)
@@ -260,6 +272,11 @@ class AllegroLayers(nn.Module):
                 # position-independent, so deriving it inside the jitted step
                 # wastes ~0.5 ms/step at production edge counts
                 offs, win = data[keys.FUSED_OFFS], data[keys.FUSED_WIN]
+                # the window row-block size travels WITH the plan (shape-
+                # encoded; absent = classic wr = eb) — host-validated by
+                # precompute_statics, so a narrow plan is always safe here
+                if keys.FUSED_WR in data:
+                    wr = data[keys.FUSED_WR].shape[0]
             else:
                 win, offs = make_block_plan(centers_p, eb)
                 # The fused kernels silently assume center-sorted REAL edges
@@ -294,7 +311,7 @@ class AllegroLayers(nn.Module):
                     ok = jnp.all(centers_p[1:] >= centers_p[:-1])
                 sh_p = jnp.where(ok, sh_p, jnp.nan)
             plan = (offs, win)
-            n_rank = num_rank_rows(n_atoms, eb)
+            n_rank = num_rank_rows(n_atoms, wr or eb)
         elif packed:
             # Tensor track lives in packed dim-major layout between layers:
             # (E, U) pairs ride the 128-lane axis, every basis-dim slice is a
@@ -332,7 +349,7 @@ class AllegroLayers(nn.Module):
             # never exist in HBM (TODO.md "per-layer mega-kernel")
             out = dict(data)
             out[keys.EDGE_SCALARS] = self._mega_forward(
-                data, features, sh_p, plan, n_rank, E, Ep, U, S
+                data, features, sh_p, plan, n_rank, E, Ep, U, S, wr
             )
             return out
         proj = self.first_projection(data[keys.EDGE_EMBEDDING])
@@ -348,11 +365,14 @@ class AllegroLayers(nn.Module):
             body = AllegroLayers._layer_body
         if fused:
             mode, centers_arg, n_rank_static = "fused", plan, n_rank
+            wr_static = wr
         elif packed:
             mode, centers_arg, n_rank_static = "packed", centers_p, 0
+            wr_static = None
         else:
             mode, centers_arg, n_rank_static = "plain", centers_p, 0
-        statics = (mode, E, U, Ep, n_atoms, n_rank_static)
+            wr_static = None
+        statics = (mode, E, U, Ep, n_atoms, n_rank_static, wr_static)
         for layer in range(self.num_layers):
             features, lat = body(
                 self, (layer,) + statics, features, env_w, tuple(scalar_blocks),
@@ -374,7 +394,8 @@ class AllegroLayers(nn.Module):
         ``precision`` field, same as the XLA-side dots."""
         return 3 if self.precision == "high" else 6
 
-    def _mega_forward(self, data, features, sh_p, plan, n_rank, E, Ep, U, S):
+    def _mega_forward(self, data, features, sh_p, plan, n_rank, E, Ep, U, S,
+                      wr=None):
         """Mega-fused inference stack: per layer, ONE kernel runs the latent
         MLP + env-weight slice + env scatter (``mega_latent_env``) and one
         runs the env gather + CG-TP (``gather_tp_infer``) with the one-pass
@@ -398,7 +419,7 @@ class AllegroLayers(nn.Module):
         lat_s, eA, eB = mega_latent_env(
             (emb,), sh_p, w_proj, None, offs, win,
             tuple(dim_to_irr), U, eb, n_rank, S, wexp_dtype,
-            self._mlp_passes(), self.onehot_passes,
+            self._mlp_passes(), self.onehot_passes, wr,
         )
         scalar_blocks = [lat_s]
         # layer-0 input: prefer the FACTOR form of the tensor embedding
@@ -421,7 +442,7 @@ class AllegroLayers(nn.Module):
             body = nn.remat(body, static_argnums=(1,), prevent_cse=False)
         for layer in range(self.num_layers):
             embed0 = layer == 0 and w2b is not None
-            statics = (layer, Ep, U, S, n_rank, eb, embed0, row_specs)
+            statics = (layer, Ep, U, S, n_rank, eb, embed0, row_specs, wr)
             x, lat_s, eA, eB = body(
                 self, statics, x, eA, eB, tuple(scalar_blocks), sh_p, offs, win
             )
@@ -432,7 +453,7 @@ class AllegroLayers(nn.Module):
         return tuple(scalar_blocks)
 
     def _mega_layer_body(self, statics, x, eA, eB, scalars_tuple, sh_p, offs, win):
-        layer, Ep, U, S, n_rank, eb, embed0, row_specs = statics
+        layer, Ep, U, S, n_rank, eb, embed0, row_specs, wr = statics
         wexp_dtype = (
             jnp.dtype(self.tensor_dtype) if self.tensor_dtype is not None else None
         )
@@ -456,12 +477,12 @@ class AllegroLayers(nn.Module):
             res = gather_tp_embed_infer(
                 sh_p, x, eA, eB, wk, offs, win, tuple(entries), tuple(dims),
                 U, eb, n_rank, row_specs, out_dtype, self.onehot_passes,
-                split, sdt,
+                split, sdt, wr,
             )
         else:
             res = gather_tp_infer(
                 x, eA, eB, wk, offs, win, tuple(entries), tuple(dims), U, eb,
-                n_rank, self.onehot_passes, split, sdt,
+                n_rank, self.onehot_passes, split, sdt, wr,
             )
         if split:
             feats, tp_scalars = res
@@ -480,14 +501,14 @@ class AllegroLayers(nn.Module):
             lat_s, eA_n, eB_n = mega_latent_env(
                 tuple(scalars_tuple) + (tp_scalars,), sh_p, w0, w1, offs, win,
                 tuple(dim_to_irr), U, eb, n_rank, S, wexp_dtype,
-                self._mlp_passes(), self.onehot_passes,
+                self._mlp_passes(), self.onehot_passes, wr,
             )
         if self.tensor_dtype is not None:
             feats = feats.astype(jnp.dtype(self.tensor_dtype))
         return feats, lat_s, eA_n, eB_n
 
     def _layer_body(self, statics, features, env_w, scalars_tuple, sh_p, centers_p):
-        layer, mode, E, U, Ep, n_atoms, n_rank = statics
+        layer, mode, E, U, Ep, n_atoms, n_rank, wr = statics
         packed = mode == "packed"
         if mode == "fused":
             offs, win = centers_p
@@ -505,7 +526,7 @@ class AllegroLayers(nn.Module):
             # lane blocks the kernels slice; no transpose on the hot path
             feats = self.tps[layer].fused_call(
                 features, sh_p, wexp, offs, win, n_rank,
-                self.fused_block_edges or FUSED_BLOCK_EDGES,
+                self.fused_block_edges or FUSED_BLOCK_EDGES, wr,
             )
             tp_scalars = feats[:, :U][:E].astype(self.param_dtype)
         elif packed:

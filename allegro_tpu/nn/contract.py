@@ -269,7 +269,8 @@ class Contracter(nn.Module):
         w = self._pallas_weights(x1_packed.dtype)
         return self._pallas.contract_packed(x1_packed, x2p, w, U=mul)
 
-    def fused_call(self, x, sh, wexp, offs, win, n_rank_rows: int, eb: int):
+    def fused_call(self, x, sh, wexp, offs, win, n_rank_rows: int, eb: int,
+                   wr: int | None = None):
         """Fully-fused layer update (env-weight + scatter + gather + CG-TP).
 
         x [Ep, d1*U] tensor features (flat dim-major columns); sh [Ep, d2]
@@ -310,13 +311,13 @@ class Contracter(nn.Module):
             return fused_layer_infer(
                 x, sh, wexp, wk, offs, win,
                 self._fused_entries, (d1, d2, d3), self.mul, eb,
-                self._dim_to_irr, n_rank_rows, self.onehot_passes,
+                self._dim_to_irr, n_rank_rows, self.onehot_passes, wr,
             )
         return fused_layer(
             x, sh, wexp, wk, offs, win,
             entries=self._fused_entries, dims=(d1, d2, d3), U=self.mul, eb=eb,
             dim_to_irr=self._dim_to_irr, n_rank_rows=n_rank_rows,
-            passes=self.onehot_passes,
+            passes=self.onehot_passes, wr=wr,
         )
 
     def fused_infer_parts(self, dtype):

@@ -35,7 +35,12 @@ def with_edge_vectors(data: Dict, recompute: bool = False) -> Dict:
         # ~0.1 ms. Closed under transposition (force training AD-safe).
         from ..ops.fused_primitives import center_gather
 
-        offs, win = data[keys.FUSED_OFFS], data[keys.FUSED_WIN]
+        # center ops put windows on the LANE axis — always the classic
+        # (wr = eb) plan; the twin keys carry it when FUSED_WR is armed
+        if keys.FUSED_OFFS_EB in data:
+            offs, win = data[keys.FUSED_OFFS_EB], data[keys.FUSED_WIN_EB]
+        else:
+            offs, win = data[keys.FUSED_OFFS], data[keys.FUSED_WIN]
         eb = offs.shape[1]
         Ep = offs.shape[0] // 8 * eb
         # passes=3: POSITION gathers must be exact — a dropped one-hot split

@@ -61,7 +61,12 @@ class EdgewiseReduce:
             # instead of an XLA row gather (~0.7 ms/step at 100k edges)
             from ..ops.fused_primitives import center_scatter
 
-            offs, win = data[keys.FUSED_OFFS], data[keys.FUSED_WIN]
+            # center ops put windows on the LANE axis — always the classic
+            # (wr = eb) plan; the twin keys carry it when FUSED_WR is armed
+            if keys.FUSED_OFFS_EB in data:
+                offs, win = data[keys.FUSED_OFFS_EB], data[keys.FUSED_WIN_EB]
+            else:
+                offs, win = data[keys.FUSED_OFFS], data[keys.FUSED_WIN]
             eb = offs.shape[1]
             Ep = offs.shape[0] // 8 * eb
             xp = jnp.pad(x, ((0, Ep - x.shape[0]), (0, 0)))

@@ -95,27 +95,27 @@ env_scatter_p = Primitive("allegro_fused_env_scatter")
 
 
 def env_scatter(sh, wexp, offs, win, *, dim_to_irr, U, eb, n_rank_rows,
-                passes=None):
+                passes=None, wr=None):
     return env_scatter_p.bind(
         sh, wexp, offs, win, dim_to_irr=tuple(dim_to_irr), U=U, eb=eb,
-        n_rank_rows=n_rank_rows, passes=passes,
+        n_rank_rows=n_rank_rows, passes=passes, wr=wr,
     )
 
 
 @env_scatter_p.def_abstract_eval
 def _env_scatter_abs(sh, wexp, offs, win, *, dim_to_irr, U, eb, n_rank_rows,
-                     passes=None):
+                     passes=None, wr=None):
     dt = fused_tp.compute_dtype(sh.dtype, wexp.dtype)
     return core.ShapedArray((n_rank_rows, len(dim_to_irr) * U), dt)
 
 
 def _env_scatter_impl(sh, wexp, offs, win, *, dim_to_irr, U, eb, n_rank_rows,
-                      passes=None):
+                      passes=None, wr=None):
     eA, eB = fused_tp.env_scatter_call(
         sh, wexp, offs, win, dim_to_irr=dim_to_irr, U=U, eb=eb,
-        n_rank_rows=n_rank_rows, passes=passes,
+        n_rank_rows=n_rank_rows, passes=passes, wr=wr,
     )
-    return fused_tp.combine_scatter_outputs(eA, eB, win, eb)
+    return fused_tp.combine_scatter_outputs(eA, eB, win, wr or eb)
 
 
 env_scatter_p.def_impl(lambda *a, **k: _env_scatter_impl(*a, **k))
@@ -138,11 +138,11 @@ ad.primitive_jvps[env_scatter_p] = _env_scatter_jvp
 
 
 def _env_scatter_transpose(ct, sh, wexp, offs, win, *, dim_to_irr, U, eb,
-                           n_rank_rows, passes=None):
+                           n_rank_rows, passes=None, wr=None):
     assert not (ad.is_undefined_primal(offs) or ad.is_undefined_primal(win))
     if type(ct) is ad.Zero:
         return (_zero_or_none(sh), _zero_or_none(wexp), None, None)
-    kw = dict(dim_to_irr=dim_to_irr, U=U, eb=eb, passes=passes)
+    kw = dict(dim_to_irr=dim_to_irr, U=U, eb=eb, passes=passes, wr=wr)
     if ad.is_undefined_primal(sh):
         gs = unweight_sh(ct, wexp, offs, win, **kw)
         return (_cast_ct(gs, sh), None, None, None)
@@ -161,22 +161,22 @@ ad.primitive_transposes[env_scatter_p] = _env_scatter_transpose
 gather_tp_p = Primitive("allegro_fused_gather_tp")
 
 
-def gather_tp(x, env, w, offs, win, *, entries, dims, U, eb, passes=None):
+def gather_tp(x, env, w, offs, win, *, entries, dims, U, eb, passes=None, wr=None):
     return gather_tp_p.bind(
         x, env, w, offs, win, entries=tuple(entries), dims=tuple(dims), U=U,
-        eb=eb, passes=passes,
+        eb=eb, passes=passes, wr=wr,
     )
 
 
 @gather_tp_p.def_abstract_eval
-def _gather_tp_abs(x, env, w, offs, win, *, entries, dims, U, eb, passes=None):
+def _gather_tp_abs(x, env, w, offs, win, *, entries, dims, U, eb, passes=None, wr=None):
     return core.ShapedArray((x.shape[0], dims[2] * U), x.dtype)
 
 
-def _gather_tp_impl(x, env, w, offs, win, *, entries, dims, U, eb, passes=None):
+def _gather_tp_impl(x, env, w, offs, win, *, entries, dims, U, eb, passes=None, wr=None):
     return fused_tp.gather_tp_call(
         x, env, env, w, offs, win, entries=entries, dims=dims, U=U, eb=eb,
-        passes=passes,
+        passes=passes, wr=wr,
     )
 
 
@@ -202,24 +202,24 @@ ad.primitive_jvps[gather_tp_p] = _gather_tp_jvp
 
 
 def _gather_tp_transpose(ct, x, env, w, offs, win, *, entries, dims, U, eb,
-                         passes=None):
+                         passes=None, wr=None):
     if type(ct) is ad.Zero:
         return (_zero_or_none(x), _zero_or_none(env), _zero_or_none(w), None, None)
     if ad.is_undefined_primal(x):
         gx = gather_tp(
             ct, env, w, offs, win, entries=_swap_entries(entries), dims=_rev(dims),
-            U=U, eb=eb, passes=passes,
+            U=U, eb=eb, passes=passes, wr=wr,
         )
         return (_cast_ct(gx, x), None, None, None, None)
     if ad.is_undefined_primal(env):
         genv = tp_scatter(
             x, ct, w, offs, win, entries=entries, dims=dims, U=U, eb=eb,
-            n_rank_rows=env.aval.shape[0], passes=passes,
+            n_rank_rows=env.aval.shape[0], passes=passes, wr=wr,
         )
         return (None, _cast_ct(genv, env), None, None, None)
     assert ad.is_undefined_primal(w)
     gw = gather_dw(x, env, ct, offs, win, entries=entries, dims=dims, U=U,
-                   eb=eb, passes=passes)
+                   eb=eb, passes=passes, wr=wr)
     return (None, None, _cast_ct(gw, w), None, None)
 
 
@@ -234,27 +234,27 @@ tp_scatter_p = Primitive("allegro_fused_tp_scatter")
 
 
 def tp_scatter(x, g, w, offs, win, *, entries, dims, U, eb, n_rank_rows,
-               passes=None):
+               passes=None, wr=None):
     return tp_scatter_p.bind(
         x, g, w, offs, win, entries=tuple(entries), dims=tuple(dims), U=U,
-        eb=eb, n_rank_rows=n_rank_rows, passes=passes,
+        eb=eb, n_rank_rows=n_rank_rows, passes=passes, wr=wr,
     )
 
 
 @tp_scatter_p.def_abstract_eval
 def _tp_scatter_abs(x, g, w, offs, win, *, entries, dims, U, eb, n_rank_rows,
-                    passes=None):
+                    passes=None, wr=None):
     dt = fused_tp.compute_dtype(x.dtype, g.dtype)
     return core.ShapedArray((n_rank_rows, dims[1] * U), dt)
 
 
 def _tp_scatter_impl(x, g, w, offs, win, *, entries, dims, U, eb, n_rank_rows,
-                     passes=None):
+                     passes=None, wr=None):
     dA, dB = fused_tp.tp_scatter_call(
         x, g, w, offs, win, entries=entries, dims=dims, U=U, eb=eb,
-        n_rank_rows=n_rank_rows, passes=passes,
+        n_rank_rows=n_rank_rows, passes=passes, wr=wr,
     )
-    return fused_tp.combine_scatter_outputs(dA, dB, win, eb)
+    return fused_tp.combine_scatter_outputs(dA, dB, win, wr or eb)
 
 
 tp_scatter_p.def_impl(lambda *a, **k: _tp_scatter_impl(*a, **k))
@@ -279,10 +279,10 @@ ad.primitive_jvps[tp_scatter_p] = _tp_scatter_jvp
 
 
 def _tp_scatter_transpose(ct, x, g, w, offs, win, *, entries, dims, U, eb,
-                          n_rank_rows, passes=None):
+                          n_rank_rows, passes=None, wr=None):
     if type(ct) is ad.Zero:
         return (_zero_or_none(x), _zero_or_none(g), _zero_or_none(w), None, None)
-    kw = dict(U=U, eb=eb, passes=passes)
+    kw = dict(U=U, eb=eb, passes=passes, wr=wr)
     if ad.is_undefined_primal(x):
         gx = gather_tp(
             g, ct, w, offs, win, entries=_swap_entries(entries), dims=_rev(dims), **kw
@@ -306,23 +306,23 @@ ad.primitive_transposes[tp_scatter_p] = _tp_scatter_transpose
 gather_dw_p = Primitive("allegro_fused_gather_dw")
 
 
-def gather_dw(x, env, g, offs, win, *, entries, dims, U, eb, passes=None):
+def gather_dw(x, env, g, offs, win, *, entries, dims, U, eb, passes=None, wr=None):
     return gather_dw_p.bind(
         x, env, g, offs, win, entries=tuple(entries), dims=tuple(dims), U=U,
-        eb=eb, passes=passes,
+        eb=eb, passes=passes, wr=wr,
     )
 
 
 @gather_dw_p.def_abstract_eval
-def _gather_dw_abs(x, env, g, offs, win, *, entries, dims, U, eb, passes=None):
+def _gather_dw_abs(x, env, g, offs, win, *, entries, dims, U, eb, passes=None, wr=None):
     n_paths = 1 + max(e[3] for e in entries)
     return core.ShapedArray((n_paths, U), fused_tp.compute_dtype(x.dtype, g.dtype))
 
 
-def _gather_dw_impl(x, env, g, offs, win, *, entries, dims, U, eb, passes=None):
+def _gather_dw_impl(x, env, g, offs, win, *, entries, dims, U, eb, passes=None, wr=None):
     return fused_tp.gather_dw_call(
         x, env, env, g, offs, win, entries=entries, dims=dims, U=U, eb=eb,
-        passes=passes,
+        passes=passes, wr=wr,
     )
 
 
@@ -348,10 +348,10 @@ ad.primitive_jvps[gather_dw_p] = _gather_dw_jvp
 
 
 def _gather_dw_transpose(ct, x, env, g, offs, win, *, entries, dims, U, eb,
-                         passes=None):
+                         passes=None, wr=None):
     if type(ct) is ad.Zero:
         return (_zero_or_none(x), _zero_or_none(env), _zero_or_none(g), None, None)
-    kw = dict(U=U, eb=eb, passes=passes)
+    kw = dict(U=U, eb=eb, passes=passes, wr=wr)
     if ad.is_undefined_primal(x):
         gx = gather_tp(
             g, env, ct, offs, win, entries=_swap_entries(entries), dims=_rev(dims), **kw
@@ -378,23 +378,23 @@ ad.primitive_transposes[gather_dw_p] = _gather_dw_transpose
 unweight_sh_p = Primitive("allegro_fused_unweight_sh")
 
 
-def unweight_sh(t, wexp, offs, win, *, dim_to_irr, U, eb, passes=None):
+def unweight_sh(t, wexp, offs, win, *, dim_to_irr, U, eb, passes=None, wr=None):
     return unweight_sh_p.bind(
         t, wexp, offs, win, dim_to_irr=tuple(dim_to_irr), U=U, eb=eb,
-        passes=passes,
+        passes=passes, wr=wr,
     )
 
 
 @unweight_sh_p.def_abstract_eval
-def _unweight_sh_abs(t, wexp, offs, win, *, dim_to_irr, U, eb, passes=None):
+def _unweight_sh_abs(t, wexp, offs, win, *, dim_to_irr, U, eb, passes=None, wr=None):
     return core.ShapedArray(
         (wexp.shape[0], len(dim_to_irr)), fused_tp.compute_dtype(t.dtype)
     )
 
 
-def _unweight_sh_impl(t, wexp, offs, win, *, dim_to_irr, U, eb, passes=None):
+def _unweight_sh_impl(t, wexp, offs, win, *, dim_to_irr, U, eb, passes=None, wr=None):
     return fused_tp.gather_unweight_sh_call(
-        t, t, wexp, offs, win, dim_to_irr=dim_to_irr, U=U, eb=eb, passes=passes
+        t, t, wexp, offs, win, dim_to_irr=dim_to_irr, U=U, eb=eb, passes=passes, wr=wr
     )
 
 
@@ -418,10 +418,10 @@ ad.primitive_jvps[unweight_sh_p] = _unweight_sh_jvp
 
 
 def _unweight_sh_transpose(ct, t, wexp, offs, win, *, dim_to_irr, U, eb,
-                           passes=None):
+                           passes=None, wr=None):
     if type(ct) is ad.Zero:
         return (_zero_or_none(t), _zero_or_none(wexp), None, None)
-    kw = dict(dim_to_irr=dim_to_irr, U=U, eb=eb, passes=passes)
+    kw = dict(dim_to_irr=dim_to_irr, U=U, eb=eb, passes=passes, wr=wr)
     if ad.is_undefined_primal(t):
         gt = env_scatter(ct, wexp, offs, win, n_rank_rows=t.aval.shape[0], **kw)
         return (_cast_ct(gt, t), None, None, None)
@@ -441,27 +441,27 @@ unweight_w_p = Primitive("allegro_fused_unweight_w")
 
 
 def unweight_w(t, sh, offs, win, *, dim_to_irr, U, eb, out_dtype=None,
-               passes=None):
+               passes=None, wr=None):
     return unweight_w_p.bind(
         t, sh, offs, win, dim_to_irr=tuple(dim_to_irr), U=U, eb=eb,
-        out_dtype=None if out_dtype is None else str(out_dtype), passes=passes,
+        out_dtype=None if out_dtype is None else str(out_dtype), passes=passes, wr=wr,
     )
 
 
 @unweight_w_p.def_abstract_eval
 def _unweight_w_abs(t, sh, offs, win, *, dim_to_irr, U, eb, out_dtype=None,
-                    passes=None):
+                    passes=None, wr=None):
     n_irr = max(dim_to_irr) + 1
     dt = fused_tp.compute_dtype(t.dtype) if out_dtype is None else jnp.dtype(out_dtype)
     return core.ShapedArray((sh.shape[0], n_irr * U), dt)
 
 
 def _unweight_w_impl(t, sh, offs, win, *, dim_to_irr, U, eb, out_dtype=None,
-                     passes=None):
+                     passes=None, wr=None):
     return fused_tp.gather_unweight_w_call(
         t, t, sh, offs, win, dim_to_irr=dim_to_irr, U=U, eb=eb,
         out_dtype=None if out_dtype is None else jnp.dtype(out_dtype),
-        passes=passes,
+        passes=passes, wr=wr,
     )
 
 
@@ -485,10 +485,10 @@ ad.primitive_jvps[unweight_w_p] = _unweight_w_jvp
 
 
 def _unweight_w_transpose(ct, t, sh, offs, win, *, dim_to_irr, U, eb,
-                          out_dtype=None, passes=None):
+                          out_dtype=None, passes=None, wr=None):
     if type(ct) is ad.Zero:
         return (_zero_or_none(t), _zero_or_none(sh), None, None)
-    kw = dict(dim_to_irr=dim_to_irr, U=U, eb=eb, passes=passes)
+    kw = dict(dim_to_irr=dim_to_irr, U=U, eb=eb, passes=passes, wr=wr)
     if ad.is_undefined_primal(t):
         gt = env_scatter(sh, ct, offs, win, n_rank_rows=t.aval.shape[0], **kw)
         return (_cast_ct(gt, t), None, None, None)
@@ -514,13 +514,13 @@ center_scatter_p = Primitive("allegro_center_scatter")
 center_gather_p = Primitive("allegro_center_gather")
 
 
-def center_scatter(vals, offs, win, *, eb, n_atoms, passes=None):
+def center_scatter(vals, offs, win, *, eb, n_atoms, passes=None, wr=None):
     """vals [Ep, C] per-edge → [n_atoms, C] sums over each edge's center."""
     return center_scatter_p.bind(vals, offs, win, eb=eb, n_atoms=n_atoms,
-                                 passes=passes)
+                                 passes=passes, wr=wr)
 
 
-def center_gather(atom_vals, offs, win, *, eb, n_edges, passes=None):
+def center_gather(atom_vals, offs, win, *, eb, n_edges, passes=None, wr=None):
     """atom_vals [n_atoms, C] → per-edge [n_edges, C] (value of each edge's
     center atom; padded sentinel edges read garbage rank rows — mask/ignore).
 
@@ -529,35 +529,36 @@ def center_gather(atom_vals, offs, win, *, eb, n_edges, passes=None):
     ~2^-17·|cell| of noise on every edge vector (≫ the 5e-5 force
     tolerance); feature-magnitude consumers may follow the global policy."""
     return center_gather_p.bind(atom_vals, offs, win, eb=eb, n_edges=n_edges,
-                                passes=passes)
+                                passes=passes, wr=wr)
 
 
 @center_scatter_p.def_abstract_eval
-def _center_scatter_abs(vals, offs, win, *, eb, n_atoms, passes=None):
+def _center_scatter_abs(vals, offs, win, *, eb, n_atoms, passes=None, wr=None):
     return core.ShapedArray((n_atoms, vals.shape[1]), fused_tp.compute_dtype(vals.dtype))
 
 
 @center_gather_p.def_abstract_eval
-def _center_gather_abs(atom_vals, offs, win, *, eb, n_edges, passes=None):
+def _center_gather_abs(atom_vals, offs, win, *, eb, n_edges, passes=None, wr=None):
     return core.ShapedArray(
         (n_edges, atom_vals.shape[1]), fused_tp.compute_dtype(atom_vals.dtype)
     )
 
 
-def _center_scatter_impl(vals, offs, win, *, eb, n_atoms, passes=None):
+def _center_scatter_impl(vals, offs, win, *, eb, n_atoms, passes=None, wr=None):
     sA, sB = fused_tp.center_sum_call(
         vals.T, offs, win, eb=eb,
-        n_rank_rows=fused_tp.num_rank_rows(n_atoms, eb), passes=passes,
+        n_rank_rows=fused_tp.num_rank_rows(n_atoms, wr or eb), passes=passes,
+        wr=wr,
     )
-    comb = fused_tp.combine_scatter_cols(sA, sB, win, eb)
+    comb = fused_tp.combine_scatter_cols(sA, sB, win, wr or eb)
     return comb[:, :n_atoms].T
 
 
-def _center_gather_impl(atom_vals, offs, win, *, eb, n_edges, passes=None):
-    n_rank = fused_tp.num_rank_rows(atom_vals.shape[0], eb)
+def _center_gather_impl(atom_vals, offs, win, *, eb, n_edges, passes=None, wr=None):
+    n_rank = fused_tp.num_rank_rows(atom_vals.shape[0], wr or eb)
     aT = jnp.pad(atom_vals.T, ((0, 0), (0, n_rank - atom_vals.shape[0])))
     return fused_tp.center_broadcast_call(
-        aT, offs, win, eb=eb, Ep=n_edges, passes=passes
+        aT, offs, win, eb=eb, Ep=n_edges, passes=passes, wr=wr
     ).T
 
 
@@ -589,22 +590,22 @@ ad.primitive_jvps[center_scatter_p] = _center_scatter_jvp
 ad.primitive_jvps[center_gather_p] = _center_gather_jvp
 
 
-def _center_scatter_transpose(ct, vals, offs, win, *, eb, n_atoms, passes=None):
+def _center_scatter_transpose(ct, vals, offs, win, *, eb, n_atoms, passes=None, wr=None):
     if type(ct) is ad.Zero:
         return (_zero_or_none(vals), None, None)
     assert ad.is_undefined_primal(vals)
     gv = center_gather(ct, offs, win, eb=eb, n_edges=vals.aval.shape[0],
-                       passes=passes)
+                       passes=passes, wr=wr)
     return (_cast_ct(gv, vals), None, None)
 
 
 def _center_gather_transpose(ct, atom_vals, offs, win, *, eb, n_edges,
-                             passes=None):
+                             passes=None, wr=None):
     if type(ct) is ad.Zero:
         return (_zero_or_none(atom_vals), None, None)
     assert ad.is_undefined_primal(atom_vals)
     gv = center_scatter(ct, offs, win, eb=eb, n_atoms=atom_vals.aval.shape[0],
-                        passes=passes)
+                        passes=passes, wr=wr)
     return (_cast_ct(gv, atom_vals), None, None)
 
 
@@ -704,7 +705,7 @@ batching.primitive_batchers[perm_rows_p] = _map_batcher(perm_rows, 1)
 
 
 def fused_layer(x, sh, wexp, w, offs, win, *, entries, dims, U, eb, dim_to_irr,
-                n_rank_rows, passes=None):
+                n_rank_rows, passes=None, wr=None):
     """One Allegro layer's tensor-track update, fully fused.
 
     x [Ep, d1*U] tensor features; sh [Ep, d2] basis; wexp [Ep, n_irr*U]
@@ -713,10 +714,10 @@ def fused_layer(x, sh, wexp, w, offs, win, *, entries, dims, U, eb, dim_to_irr,
     """
     env = env_scatter(
         sh, wexp, offs, win, dim_to_irr=dim_to_irr, U=U, eb=eb,
-        n_rank_rows=n_rank_rows, passes=passes,
+        n_rank_rows=n_rank_rows, passes=passes, wr=wr,
     )
     return gather_tp(x, env, w, offs, win, entries=entries, dims=dims, U=U,
-                     eb=eb, passes=passes)
+                     eb=eb, passes=passes, wr=wr)
 
 
 # ---------------------------------------------------------------------------
@@ -724,9 +725,9 @@ def fused_layer(x, sh, wexp, w, offs, win, *, entries, dims, U, eb, dim_to_irr,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13))
 def fused_layer_infer(x, sh, wexp, w, offs, win, entries, dims, U, eb, dim_to_irr,
-                      n_rank_rows, passes=None):
+                      n_rank_rows, passes=None, wr=None):
     """Same math as ``fused_layer`` but with a ONE-PASS fused backward:
     (dx, denv, dw) from one kernel sharing the g/x loads and env gather, then
     (dsh, dwexp) from one kernel sharing the denv gather — the HBM-bound
@@ -740,28 +741,28 @@ def fused_layer_infer(x, sh, wexp, w, offs, win, entries, dims, U, eb, dim_to_ir
     instead of paying three full [n_rank_rows, d2*U] passes per combine."""
     eA, eB = fused_tp.env_scatter_call(
         sh, wexp, offs, win, dim_to_irr=dim_to_irr, U=U, eb=eb,
-        n_rank_rows=n_rank_rows, passes=passes,
+        n_rank_rows=n_rank_rows, passes=passes, wr=wr,
     )
     return fused_tp.gather_tp_raw_call(
         x, eA, eB, w, offs, win, entries=entries, dims=dims, U=U, eb=eb,
-        passes=passes,
+        passes=passes, wr=wr,
     )
 
 
 def _fli_fwd(x, sh, wexp, w, offs, win, entries, dims, U, eb, dim_to_irr,
-             n_rank_rows, passes=None):
+             n_rank_rows, passes=None, wr=None):
     eA, eB = fused_tp.env_scatter_call(
         sh, wexp, offs, win, dim_to_irr=dim_to_irr, U=U, eb=eb,
-        n_rank_rows=n_rank_rows, passes=passes,
+        n_rank_rows=n_rank_rows, passes=passes, wr=wr,
     )
     out = fused_tp.gather_tp_raw_call(
         x, eA, eB, w, offs, win, entries=entries, dims=dims, U=U, eb=eb,
-        passes=passes,
+        passes=passes, wr=wr,
     )
     return out, (x, sh, wexp, w, eA, eB, offs, win)
 
 
-def _fli_bwd(entries, dims, U, eb, dim_to_irr, n_rank_rows, passes, res, g):
+def _fli_bwd(entries, dims, U, eb, dim_to_irr, n_rank_rows, passes, wr, res, g):
     import numpy as np
 
     x, sh, wexp, w, eA, eB, offs, win = res
@@ -773,12 +774,12 @@ def _fli_bwd(entries, dims, U, eb, dim_to_irr, n_rank_rows, passes, res, g):
     # `fused` primitive backend, which computes real weight grads).
     dx, dA, dB = fused_tp.bwd_fused_raw_call(
         x, g, eA, eB, w, offs, win, entries=entries, dims=dims, U=U, eb=eb,
-        n_rank_rows=n_rank_rows, passes=passes,
+        n_rank_rows=n_rank_rows, passes=passes, wr=wr,
     )
     dw = jnp.full(w.shape, jnp.nan, fused_tp.compute_dtype(w.dtype))
     dsh, dwexp = fused_tp.unweight_both_raw_call(
         dA, dB, sh, wexp, offs, win, dim_to_irr=dim_to_irr, U=U, eb=eb,
-        passes=passes,
+        passes=passes, wr=wr,
     )
     zoffs = np.zeros(offs.shape, jax.dtypes.float0)
     zwin = np.zeros(win.shape, jax.dtypes.float0)
@@ -815,36 +816,38 @@ def _f0_like(a):
     return np.zeros(a.shape, jax.dtypes.float0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13))
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14)
+)
 def mega_latent_env(pieces, sh, w0, w1, offs, win,
                     dim_to_irr, U, eb, n_rank_rows, S, wexp_dtype,
-                    mlp_passes=6, passes=None):
+                    mlp_passes=6, passes=None, wr=None):
     n_hidden = 1 if w1 is not None else 0
     return fused_tp.latent_env_scatter_call(
         pieces, sh, w0, w1, offs, win, dim_to_irr=dim_to_irr, U=U, eb=eb,
         n_rank_rows=n_rank_rows, S=S, n_hidden=n_hidden, wexp_dtype=wexp_dtype,
-        mlp_passes=mlp_passes, passes=passes,
+        mlp_passes=mlp_passes, passes=passes, wr=wr,
     )
 
 
 def _mle_fwd(pieces, sh, w0, w1, offs, win, dim_to_irr, U, eb, n_rank_rows, S,
-             wexp_dtype, mlp_passes=6, passes=None):
+             wexp_dtype, mlp_passes=6, passes=None, wr=None):
     out = mega_latent_env(
         pieces, sh, w0, w1, offs, win, dim_to_irr, U, eb, n_rank_rows, S,
-        wexp_dtype, mlp_passes, passes,
+        wexp_dtype, mlp_passes, passes, wr,
     )
     return out, (pieces, sh, w0, w1, offs, win)
 
 
 def _mle_bwd(dim_to_irr, U, eb, n_rank_rows, S, wexp_dtype, mlp_passes, passes,
-             res, ct):
+             wr, res, ct):
     pieces, sh, w0, w1, offs, win = res
     g_lat, dA, dB = ct
     n_hidden = 1 if w1 is not None else 0
     dsh, dpieces = fused_tp.latent_env_bwd_call(
         pieces, sh, w0, w1, dA, dB, g_lat, offs, win, dim_to_irr=dim_to_irr,
         U=U, eb=eb, S=S, n_hidden=n_hidden, wexp_dtype=wexp_dtype,
-        mlp_passes=mlp_passes, passes=passes,
+        mlp_passes=mlp_passes, passes=passes, wr=wr,
     )
     dpieces = tuple(_cast_ct(dp, _Aval(p)) for dp, p in zip(dpieces, pieces))
     dw0 = jnp.full(w0.shape, jnp.nan, fused_tp.compute_dtype(w0.dtype))
@@ -865,9 +868,12 @@ class _Aval:
 mega_latent_env.defvjp(_mle_fwd, _mle_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13))
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14)
+)
 def gather_tp_infer(x, eA, eB, w, offs, win, entries, dims, U, eb, n_rank_rows,
-                    passes=None, split_scalars=False, scalar_dtype=None):
+                    passes=None, split_scalars=False, scalar_dtype=None,
+                    wr=None):
     """``split_scalars``: additionally return the leading-0e scalar block as
     its own [Ep, U] array — (out, tp_scalars). Saves the consumer a full
     [Ep, d3*U] read per slice AND keeps the two cotangents separate (the bwd
@@ -876,18 +882,19 @@ def gather_tp_infer(x, eA, eB, w, offs, win, entries, dims, U, eb, n_rank_rows,
     return fused_tp.gather_tp_raw_call(
         x, eA, eB, w, offs, win, entries=entries, dims=dims, U=U, eb=eb,
         passes=passes, split_scalars=split_scalars, scalar_dtype=scalar_dtype,
+        wr=wr,
     )
 
 
 def _gti_fwd(x, eA, eB, w, offs, win, entries, dims, U, eb, n_rank_rows,
-             passes=None, split_scalars=False, scalar_dtype=None):
+             passes=None, split_scalars=False, scalar_dtype=None, wr=None):
     out = gather_tp_infer(x, eA, eB, w, offs, win, entries, dims, U, eb,
-                          n_rank_rows, passes, split_scalars, scalar_dtype)
+                          n_rank_rows, passes, split_scalars, scalar_dtype, wr)
     return out, (x, eA, eB, w, offs, win)
 
 
 def _gti_bwd(entries, dims, U, eb, n_rank_rows, passes, split_scalars,
-             scalar_dtype, res, ct):
+             scalar_dtype, wr, res, ct):
     x, eA, eB, w, offs, win = res
     if split_scalars:
         g, gts = ct
@@ -895,7 +902,7 @@ def _gti_bwd(entries, dims, U, eb, n_rank_rows, passes, split_scalars,
         g, gts = ct, None
     dx, dA, dB = fused_tp.bwd_fused_raw_call(
         x, g, eA, eB, w, offs, win, entries=entries, dims=dims, U=U, eb=eb,
-        n_rank_rows=n_rank_rows, passes=passes, gts=gts,
+        n_rank_rows=n_rank_rows, passes=passes, gts=gts, wr=wr,
     )
     dw = jnp.full(w.shape, jnp.nan, fused_tp.compute_dtype(w.dtype))
     return (_cast_ct(dx, _Aval(x)), dA, dB, dw, _f0_like(offs), _f0_like(win))
@@ -904,29 +911,30 @@ def _gti_bwd(entries, dims, U, eb, n_rank_rows, passes, split_scalars,
 gather_tp_infer.defvjp(_gti_fwd, _gti_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
 def env_scatter_infer(sh, wexp, offs, win, dim_to_irr, U, eb, n_rank_rows,
-                      passes=None):
+                      passes=None, wr=None):
     """(eA, eB) from explicit env weights (layer-0 path when the producing
     projection is not mega-fused)."""
     return fused_tp.env_scatter_call(
         sh, wexp, offs, win, dim_to_irr=dim_to_irr, U=U, eb=eb,
-        n_rank_rows=n_rank_rows, passes=passes,
+        n_rank_rows=n_rank_rows, passes=passes, wr=wr,
     )
 
 
-def _esi_fwd(sh, wexp, offs, win, dim_to_irr, U, eb, n_rank_rows, passes=None):
+def _esi_fwd(sh, wexp, offs, win, dim_to_irr, U, eb, n_rank_rows, passes=None,
+             wr=None):
     out = env_scatter_infer(sh, wexp, offs, win, dim_to_irr, U, eb,
-                            n_rank_rows, passes)
+                            n_rank_rows, passes, wr)
     return out, (sh, wexp, offs, win)
 
 
-def _esi_bwd(dim_to_irr, U, eb, n_rank_rows, passes, res, ct):
+def _esi_bwd(dim_to_irr, U, eb, n_rank_rows, passes, wr, res, ct):
     sh, wexp, offs, win = res
     dA, dB = ct
     dsh, dwexp = fused_tp.unweight_both_raw_call(
         dA, dB, sh, wexp, offs, win, dim_to_irr=dim_to_irr, U=U, eb=eb,
-        passes=passes,
+        passes=passes, wr=wr,
     )
     return (_cast_ct(dsh, _Aval(sh)), _cast_ct(dwexp, _Aval(wexp)),
             _f0_like(offs), _f0_like(win))
@@ -936,11 +944,11 @@ env_scatter_infer.defvjp(_esi_fwd, _esi_bwd)
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17)
 )
 def gather_tp_embed_infer(sh, w2b, eA, eB, w, offs, win, entries, dims, U, eb,
                           n_rank_rows, row_specs, out_dtype, passes=None,
-                          split_scalars=False, scalar_dtype=None):
+                          split_scalars=False, scalar_dtype=None, wr=None):
     """Layer-0 gather+TP with the two-body tensor embedding fused IN-KERNEL:
     the initial tensor features x0[e, i*U+u] = sh[e, j_i] * w2b[e, irr_i*U+u]
     (reference ``allegro/nn/tensorembed.py:85-96``) are built on the fly from
@@ -949,22 +957,22 @@ def gather_tp_embed_infer(sh, w2b, eA, eB, w, offs, win, entries, dims, U, eb,
     return fused_tp.gather_tp_embed_raw_call(
         sh, w2b, eA, eB, w, offs, win, entries=entries, dims=dims, U=U, eb=eb,
         row_specs=row_specs, out_dtype=out_dtype, passes=passes,
-        split_scalars=split_scalars, scalar_dtype=scalar_dtype,
+        split_scalars=split_scalars, scalar_dtype=scalar_dtype, wr=wr,
     )
 
 
 def _gtei_fwd(sh, w2b, eA, eB, w, offs, win, entries, dims, U, eb,
               n_rank_rows, row_specs, out_dtype, passes=None,
-              split_scalars=False, scalar_dtype=None):
+              split_scalars=False, scalar_dtype=None, wr=None):
     out = gather_tp_embed_infer(
         sh, w2b, eA, eB, w, offs, win, entries, dims, U, eb, n_rank_rows,
-        row_specs, out_dtype, passes, split_scalars, scalar_dtype,
+        row_specs, out_dtype, passes, split_scalars, scalar_dtype, wr,
     )
     return out, (sh, w2b, eA, eB, w, offs, win)
 
 
 def _gtei_bwd(entries, dims, U, eb, n_rank_rows, row_specs, out_dtype, passes,
-              split_scalars, scalar_dtype, res, ct):
+              split_scalars, scalar_dtype, wr, res, ct):
     sh, w2b, eA, eB, w, offs, win = res
     if split_scalars:
         g, gts = ct
@@ -973,7 +981,7 @@ def _gtei_bwd(entries, dims, U, eb, n_rank_rows, row_specs, out_dtype, passes,
     dsh, dw2b, dA, dB = fused_tp.bwd_embed_raw_call(
         sh, w2b, g, eA, eB, w, offs, win, entries=entries, dims=dims, U=U,
         eb=eb, n_rank_rows=n_rank_rows, row_specs=row_specs, passes=passes,
-        gts=gts,
+        gts=gts, wr=wr,
     )
     dw = jnp.full(w.shape, jnp.nan, fused_tp.compute_dtype(w.dtype))
     return (_cast_ct(dsh, _Aval(sh)), _cast_ct(dw2b, _Aval(w2b)), dA, dB,
@@ -983,9 +991,9 @@ def _gtei_bwd(entries, dims, U, eb, n_rank_rows, row_specs, out_dtype, passes,
 gather_tp_embed_infer.defvjp(_gtei_fwd, _gtei_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def readout_sum_infer(pieces, w0, w1, offs, win, eb, n_rank_rows, n_atoms,
-                      n_hidden, mlp_passes=6):
+                      n_hidden, mlp_passes=6, wr=None):
     # NOTE: the per-atom ENERGY scatter (and its backward gather) is pinned
     # exact (passes=3) regardless of the one-hot policy — energies are the
     # primary observable and the [*, 1] products cost nothing extra.
@@ -997,26 +1005,26 @@ def readout_sum_infer(pieces, w0, w1, offs, win, eb, n_rank_rows, n_atoms,
     XLA readout, whose math is identical)."""
     eA, eB = fused_tp.readout_sum_call(
         pieces, w0, w1, offs, win, eb=eb, n_rank_rows=n_rank_rows,
-        n_hidden=n_hidden, mlp_passes=mlp_passes, passes=3,
+        n_hidden=n_hidden, mlp_passes=mlp_passes, passes=3, wr=wr,
     )
-    combined = fused_tp.combine_scatter_outputs(eA, eB, win, eb)
+    combined = fused_tp.combine_scatter_outputs(eA, eB, win, wr or eb)
     return combined[:n_atoms]
 
 
 def _rsi_fwd(pieces, w0, w1, offs, win, eb, n_rank_rows, n_atoms, n_hidden,
-             mlp_passes=6):
+             mlp_passes=6, wr=None):
     out = readout_sum_infer(pieces, w0, w1, offs, win, eb, n_rank_rows,
-                            n_atoms, n_hidden, mlp_passes)
+                            n_atoms, n_hidden, mlp_passes, wr)
     return out, (pieces, w0, w1, offs, win)
 
 
-def _rsi_bwd(eb, n_rank_rows, n_atoms, n_hidden, mlp_passes, res, g):
+def _rsi_bwd(eb, n_rank_rows, n_atoms, n_hidden, mlp_passes, wr, res, g):
     pieces, w0, w1, offs, win = res
     y_ct = jnp.zeros((n_rank_rows, 1), fused_tp.compute_dtype(g.dtype))
     y_ct = y_ct.at[:n_atoms].set(g.astype(y_ct.dtype))
     dpieces = fused_tp.readout_bwd_call(
         pieces, w0, w1, y_ct, offs, win, eb=eb, n_hidden=n_hidden,
-        mlp_passes=mlp_passes, passes=3,
+        mlp_passes=mlp_passes, passes=3, wr=wr,
     )
     dpieces = tuple(_cast_ct(dp, _Aval(p)) for dp, p in zip(dpieces, pieces))
     dw0 = jnp.full(w0.shape, jnp.nan, fused_tp.compute_dtype(w0.dtype))

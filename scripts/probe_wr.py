@@ -96,6 +96,10 @@ def main():
 
     rng = np.random.RandomState(0)
     centers_np = np.sort(rng.randint(0, N_ATOMS, E)).astype(np.int32)
+    # pre-pad with the sentinel so every raced eb yields the same Ep
+    centers_np = np.concatenate(
+        [centers_np, np.full(Ep - E, N_ATOMS, np.int32)]
+    )
 
     dim_to_irr = []
     for k_, sl in enumerate(irreps_sh.slices()):

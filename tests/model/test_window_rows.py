@@ -243,6 +243,54 @@ def test_mega_and_readout(plans):
     _both(plans, run)
 
 
+def test_model_window_rows_equivalence():
+    """Full force call: a model built with window_rows=eb/2 (narrow plan
+    armed via precompute_statics → data[FUSED_WR]) matches the classic-plan
+    model to f32 accumulation rounding."""
+    from allegro_tpu.data import batch_frames, keys, to_jax
+    from allegro_tpu.data.neighborlist import neighbor_list
+    from allegro_tpu.model import AllegroModel
+
+    rng = np.random.RandomState(3)
+    n_atoms = 12
+    pos = rng.randn(n_atoms, 3) * 1.2
+    frame = {
+        keys.POSITIONS: pos,
+        keys.ATOM_TYPES: rng.randint(0, 3, n_atoms).astype(np.int32),
+    }
+    fr = neighbor_list(frame, 2.5)
+    b = batch_frames([fr], n_atoms=n_atoms + 2, n_frames=1, edge_multiple=16)
+    data = to_jax(b, dtype=np.float64)
+
+    kw = dict(
+        r_max=2.5, type_names=["A", "B", "C"], l_max=2, parity=True,
+        num_layers=2, num_scalar_features=16, num_tensor_features=4,
+        scalar_embed_mlp_hidden_layers_width=16,
+        allegro_mlp_hidden_layers_width=16,
+        readout_mlp_hidden_layers_width=16,
+        avg_num_neighbors=6.0, model_dtype="float64",
+        tp_kernel_backend="fused_infer", fused_block_edges=EB,
+    )
+    m_classic = AllegroModel(**kw)
+    m_narrow = AllegroModel(**kw, window_rows=WR)
+    d_classic = m_classic.precompute_statics(data)
+    d_narrow = m_narrow.precompute_statics(data)
+    assert keys.FUSED_WR in d_narrow, "narrow plan should validate here"
+    assert d_narrow[keys.FUSED_WR].shape == (WR,)
+    assert keys.FUSED_WR not in d_classic
+    params = m_classic.init(0, d_classic)
+    out_c = m_classic.apply_with_derivatives(params, d_classic)
+    out_n = m_narrow.apply_with_derivatives(params, d_narrow)
+    np.testing.assert_allclose(
+        np.asarray(out_c[keys.TOTAL_ENERGY]),
+        np.asarray(out_n[keys.TOTAL_ENERGY]), rtol=1e-9, atol=1e-10,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_c[keys.FORCES]), np.asarray(out_n[keys.FORCES]),
+        rtol=1e-8, atol=1e-9,
+    )
+
+
 def test_validator_rejects_sparse_plans():
     # 2 edges per atom: a 16-edge block spans ~8 ranks starting anywhere in
     # [0, wr) — fine at wr=8 only if every block's span fits 2*wr and win is
