@@ -83,6 +83,12 @@ def _flagship_model(avg_num_neighbors, backend, r_max=4.0, remat=False,
     # (1.27x over eb=128 classic on the kernel suite, scripts/probe_wr.py).
     # precompute_statics silently degrades wr to eb if the edge distribution
     # rejects the narrow plan (never at crystal density).
+    #
+    # INFERENCE ONLY: the trainable `fused` backend derives its plans
+    # in-graph (no precompute_statics → no FUSED_WR narrow window), so big
+    # eb just multiplies the classic one-hot MACs/edge by eb/128 — measured
+    # 2x train slowdown at eb=512 (r5). Train benches pass fused_eb
+    # explicitly to keep the module-default classic plan.
     extra["fused_block_edges"] = fused_eb or int(
         os.environ.get("BENCH_FUSED_EB", "512")
     )
@@ -411,7 +417,8 @@ def run_train_bench(batch_size=16, steps=100, verbose=False):
     batch = to_jax(batch_frames(frames, n_frames=batch_size), dtype=np.float32)
     n_edges = int(np.asarray(batch[keys.EDGE_MASK]).sum())
     model = _flagship_model(
-        max(n_edges / (21 * batch_size), 1.0), backend="fused", r_max=4.0
+        max(n_edges / (21 * batch_size), 1.0), backend="fused", r_max=4.0,
+        fused_eb=128,  # classic train plan — see _flagship_model note
     )
     params = model.init(0, batch)
     opt = optax.adam(1e-3)
@@ -466,7 +473,10 @@ def run_train_bench_1k(batch_size=4, n_atoms=1000, steps=20, verbose=False):
         frames.append(f)
     batch = to_jax(batch_frames(frames, n_frames=batch_size), dtype=np.float32)
     n_edges = int(np.asarray(batch[keys.EDGE_MASK]).sum())
-    model = _flagship_model(n_edges / (na * batch_size), backend="fused", r_max=4.0)
+    model = _flagship_model(
+        n_edges / (na * batch_size), backend="fused", r_max=4.0,
+        fused_eb=128,  # classic train plan — see _flagship_model note
+    )
     params = model.init(0, batch)
     opt = optax.adam(1e-3)
     opt_state = opt.init(params)
@@ -584,7 +594,8 @@ def run_train_stress_bench(batch_size=4, n_atoms=64, steps=50, verbose=False):
     batch = to_jax(batch_frames(frames, n_frames=batch_size), dtype=np.float32)
     n_edges = int(np.asarray(batch[keys.EDGE_MASK]).sum())
     model = _flagship_model(
-        n_edges / (n_atoms * batch_size), backend="fused", r_max=4.0
+        n_edges / (n_atoms * batch_size), backend="fused", r_max=4.0,
+        fused_eb=128,  # classic train plan — see _flagship_model note
     )
     params = model.init(0, batch)
     opt = optax.adam(1e-3)
@@ -787,6 +798,49 @@ def _run_parity_inner(n_atoms, verbose, precision=None, tensor_dtype=None,
     out = jax.jit(lambda p, b: model.apply_with_derivatives(p, b))(params, batch)
     f32 = np.asarray(out[keys.FORCES], np.float64)[:n_atoms]
 
+    f64 = _oracle_forces_cached(params, n_atoms)[:n_atoms]
+    mae = float(np.abs(f32 - f64).mean())
+    frms = float(np.sqrt((f64**2).mean()))
+    if want_margin:
+        # reference acceptance form: pass iff max(|Δf| - rtol·|f_ref|) <= atol
+        margin = float((np.abs(f32 - f64) - 5e-5 * np.abs(f64)).max())
+        return mae, mae / frms, margin
+    return mae, mae / frms
+
+
+_ORACLE_CACHE = {}
+
+
+def _oracle_forces_cached(params, n_atoms):
+    """f64 einsum-oracle forces for the parity frame, via the clean CPU-x64
+    subprocess (``_oracle_main``) — cached in-process AND on disk keyed by
+    the params content hash + n_atoms. The three driver parity stages
+    (headline policy, exact policy, bf16-track policy) all init the same
+    seed-0 params, so without the cache each pays the ~60 s oracle run for
+    byte-identical output (round-4 postmortem: serial bench stages blew the
+    driver budget)."""
+    import hashlib
+
+    import jax
+
+    h = hashlib.sha256()
+    h.update(str(int(n_atoms)).encode())
+    for leaf in jax.tree_util.tree_leaves(params):
+        a = np.ascontiguousarray(np.asarray(leaf))
+        h.update(a.dtype.str.encode())
+        h.update(str(a.shape).encode())
+        h.update(a.tobytes())
+    key = h.hexdigest()
+    if key in _ORACLE_CACHE:
+        return _ORACLE_CACHE[key]
+
+    cache_dir = os.environ.get("BENCH_ORACLE_CACHE", "/root/.allegro_oracle")
+    cache_file = os.path.join(cache_dir, f"{key}.npy")
+    if os.path.exists(cache_file):
+        f64 = np.load(cache_file)
+        _ORACLE_CACHE[key] = f64
+        return f64
+
     with tempfile.TemporaryDirectory() as td:
         pfile = os.path.join(td, "params.npz")
         ofile = os.path.join(td, "forces.npy")
@@ -808,14 +862,16 @@ def _run_parity_inner(n_atoms, verbose, precision=None, tensor_dtype=None,
                 f"oracle subprocess failed rc={proc.returncode}:\n"
                 + proc.stdout[-1500:] + proc.stderr[-1500:]
             )
-        f64 = np.load(ofile)[:n_atoms]
-    mae = float(np.abs(f32 - f64).mean())
-    frms = float(np.sqrt((f64**2).mean()))
-    if want_margin:
-        # reference acceptance form: pass iff max(|Δf| - rtol·|f_ref|) <= atol
-        margin = float((np.abs(f32 - f64) - 5e-5 * np.abs(f64)).max())
-        return mae, mae / frms, margin
-    return mae, mae / frms
+        f64 = np.load(ofile)
+    _ORACLE_CACHE[key] = f64
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = cache_file + f".tmp{os.getpid()}"
+        np.save(tmp, f64)
+        os.replace(tmp, cache_file)
+    except OSError:
+        pass  # disk cache is best-effort
+    return f64
 
 
 def _oracle_main(params_file, out_file):
@@ -869,17 +925,52 @@ def run_lmax3_subprocess(n_atoms, timeout=2400):
     return float(proc.stdout.strip().splitlines()[-1])
 
 
+def run_bench_subprocess(n_atoms, timeout=1800, env_extra=None):
+    """Run ``run_benchmark`` (headline-only, no trace) in a CLEAN subprocess
+    and return its result dict. For bench stages that probe the single-chip
+    memory ceiling: an OOM inside this process would poison the tunnel
+    backend for every later stage (observed round 4), so isolation + a hard
+    timeout keep the record safe. Inherits ``ALLEGRO_CHIP_LOCK_HELD`` so the
+    child shares the chip lock re-entrantly."""
+    env = dict(os.environ)
+    env["BENCH_SKIP_EXTRA"] = "1"
+    env["BENCH_TRACE"] = "0"
+    env["BENCH_N_ATOMS"] = str(int(n_atoms))
+    env.update(env_extra or {})
+    proc = subprocess.run(
+        [sys.executable, "-m", "allegro_tpu.bench"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=timeout,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"bench subprocess rc={proc.returncode}: "
+            + (proc.stdout.strip().splitlines() or [""])[-1][-200:]
+            + (proc.stderr.strip().splitlines() or [""])[-1][-200:]
+        )
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except ValueError:
+            continue
+    raise RuntimeError("bench subprocess printed no JSON line")
+
+
+def _setup_compile_cache():
+    import jax as _jax
+
+    os.makedirs("/root/.jax_cache", exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 if __name__ == "__main__":
     if "--oracle" in sys.argv:
         i = sys.argv.index("--oracle")
         _oracle_main(sys.argv[i + 1], sys.argv[i + 2])
         sys.exit(0)
+    _setup_compile_cache()
     if "--lmax3" in sys.argv:
-        import jax as _jax
-
-        os.makedirs("/root/.jax_cache", exist_ok=True)
-        _jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         i = sys.argv.index("--lmax3")
         n = int(sys.argv[i + 1])
         print(run_lmax3_bench(n_atoms=n, iters=10 if n > 20000 else 40))

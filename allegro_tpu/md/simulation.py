@@ -207,17 +207,43 @@ class Simulation:
         )
         backend = (self.model.builder_kwargs or {}).get("tp_kernel_backend")
         if backend in ("fused", "fused_infer"):
-            from ..nn.allegro import FUSED_BLOCK_EDGES
+            from ..nn.allegro import FUSED_BLOCK_EDGES, WINDOW_ROWS
             from ..ops.fused_tp import make_block_plan_np
 
+            # mirror Model.precompute_statics: the plan's eb/wr come from the
+            # MODEL's builder kwargs, not the process default — otherwise a
+            # flagship model (eb=512/wr=64) fails AllegroLayers' plan shape
+            # check and silently re-derives a classic plan in-graph every MD
+            # step (correct output, ~0.5 ms/step wasted; ADVICE r4)
+            bk = self.model.builder_kwargs or {}
+            _EB = bk.get("fused_block_edges") or FUSED_BLOCK_EDGES
+            wr = bk.get("window_rows")
+            if wr is None:
+                wr = WINDOW_ROWS
+            if wr and not (0 < wr < _EB):
+                wr = None
+            if D != 1:
+                wr = None  # narrow-window statics are single-shard only
             centers_sh = eidx[0].reshape(D, bucket // D)
             wins, offss = [], []
             for d in range(D):
-                w, o, _ = make_block_plan_np(
-                    centers_sh[d], FUSED_BLOCK_EDGES, self.n_atoms
-                )
+                w, o, _ = make_block_plan_np(centers_sh[d], _EB, self.n_atoms)
                 wins.append(w)
                 offss.append(o)
+            if wr:
+                try:
+                    w_n, o_n, _ = make_block_plan_np(
+                        centers_sh[0], _EB, self.n_atoms, wr=wr
+                    )
+                    # classic twin plan rides the *_EB keys for the center
+                    # ops (lane-axis wr<128 blocks are tile-illegal on TPU);
+                    # leading shard axis (D==1) stripped by the step's vmap
+                    static[keys.FUSED_OFFS_EB] = offss[0][None]
+                    static[keys.FUSED_WIN_EB] = wins[0][None]
+                    static[keys.FUSED_WR] = np.zeros((1, wr), np.int32)
+                    wins, offss = [w_n], [o_n]
+                except ValueError:
+                    wr = None  # edge distribution rejects the narrow plan
             static[keys.FUSED_WIN] = np.stack(wins)
             static[keys.FUSED_OFFS] = np.stack(offss)
             if D == 1 and E and np.array_equal(
@@ -225,9 +251,8 @@ class Simulation:
             ):
                 static[keys.CENTER_RANK_IDENTITY] = np.ones((1,), bool)
             if D == 1 and E:
-                # neighbor-sorted twin plan (see Model.precompute_statics)
-                from ..nn.allegro import FUSED_BLOCK_EDGES as _EB
-
+                # neighbor-sorted twin plan (see Model.precompute_statics) —
+                # always classic wr = eb (center ops)
                 Ep1 = -(-bucket // _EB) * _EB
                 nbr_p = np.concatenate(
                     [eidx[1], np.full(Ep1 - bucket, self.n_atoms, np.int32)]
@@ -281,6 +306,9 @@ class Simulation:
                     keys.EDGE_TYPE,
                     keys.FUSED_OFFS,
                     keys.FUSED_WIN,
+                    keys.FUSED_WR,
+                    keys.FUSED_OFFS_EB,
+                    keys.FUSED_WIN_EB,
                     keys.CENTER_RANK_IDENTITY,
                     keys.FUSED_OFFS_NBR,
                     keys.FUSED_WIN_NBR,

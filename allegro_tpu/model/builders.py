@@ -107,6 +107,9 @@ class FusedEdgeReadoutSum(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     precision: Optional[str] = "highest"
     factor: Optional[float] = None
+    # model-level kernel selection (serialized via builder kwargs); None =
+    # the process default (env ALLEGRO_NO_FUSED_READOUT kill-switch)
+    use_fused: Optional[bool] = None
 
     @nn.compact
     def __call__(self, data: Dict) -> Dict:
@@ -127,9 +130,14 @@ class FusedEdgeReadoutSum(nn.Module):
             and keys.CENTER_RANK_IDENTITY in data
             and len(self.hidden_dims) <= 1
             and self.nonlinearity is nn.silu
-            # kill-switch mirroring ALLEGRO_NO_MEGA: force the exact XLA
-            # chain (ablation + bench fallback if Mosaic rejects the kernel)
-            and os.environ.get("ALLEGRO_NO_FUSED_READOUT") != "1"
+            # model kwarg wins; env ALLEGRO_NO_FUSED_READOUT is the process-
+            # default kill-switch (ablation + bench fallback when Mosaic
+            # rejects the kernel)
+            and (
+                self.use_fused
+                if self.use_fused is not None
+                else os.environ.get("ALLEGRO_NO_FUSED_READOUT") != "1"
+            )
         )
         out = dict(data)
         if fused_ok:
@@ -421,6 +429,16 @@ def FullAllegroEnergyModel(
     # None = respect allow_tf32). Applies to the MLP/embed dots; the fused
     # TP kernels keep their own exact one-hot algebra.
     precision: Optional[str] = None,
+    # mega-fused inference layers (latent MLP + env-weight slice + env
+    # scatter as ONE kernel per layer; fused_infer backend only). A MODEL
+    # setting serialized with the artifact so rebuilds/exports replay with
+    # identical kernel selection (VERDICT r4 #6 — reference analogue:
+    # modifier persistence, _contract.py:253-310). None = the process
+    # default (env ALLEGRO_NO_MEGA is the kill-switch).
+    use_mega: Optional[bool] = None,
+    # fused readout+scatter kernel (fused_infer backend only); None = the
+    # process default (env ALLEGRO_NO_FUSED_READOUT is the kill-switch).
+    use_fused_readout: Optional[bool] = None,
     **_unused,
 ) -> Model:
     _kwargs = {k: v for k, v in locals().items() if k not in ("_unused",)}
@@ -504,6 +522,7 @@ def FullAllegroEnergyModel(
                 tensor_dtype=tensor_dtype,
                 fused_block_edges=fused_block_edges,
                 onehot_passes=onehot_passes,
+                use_mega=use_mega,
             ),
         ),
         # readout stage(s): fused_infer gets the single fused stage (readout
@@ -523,6 +542,7 @@ def FullAllegroEnergyModel(
                         param_dtype=dtype,
                         precision=prec,
                         factor=1.0 / math.sqrt(2.0 * avg_n),
+                        use_fused=use_fused_readout,
                     ),
                 )
             ]

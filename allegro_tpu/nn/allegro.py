@@ -156,6 +156,11 @@ class AllegroLayers(nn.Module):
     # packed (legacy pallas) backend env construction variant; None = the
     # module default PACKED_ENV_VARIANT ("edge_major"/"dim_major")
     packed_env_variant: str | None = None
+    # mega-fused inference layers: a MODEL setting (serialized via builder
+    # kwargs — VERDICT r4 #6) so exports/rebuilds replay with identical
+    # kernel selection; None = the process default (env ALLEGRO_NO_MEGA
+    # kill-switch)
+    use_mega: bool | None = None
 
     def setup(self):
         irreps_sh = Irreps(self.irreps_sh)
@@ -342,7 +347,13 @@ class AllegroLayers(nn.Module):
             # expansion of the fallback path)
             and self.weight_individual_irreps
             and os.environ.get("ALLEGRO_TP_BYPASS") != "1"
-            and os.environ.get("ALLEGRO_NO_MEGA") != "1"
+            # model kwarg wins; env ALLEGRO_NO_MEGA is the process-default
+            # kill-switch only
+            and (
+                self.use_mega
+                if self.use_mega is not None
+                else os.environ.get("ALLEGRO_NO_MEGA") != "1"
+            )
         ):
             # mega-fused inference: latent MLP + env-weight slice + env
             # scatter run as ONE kernel per layer; the hidden/env activations

@@ -145,6 +145,14 @@ def make_block_plan_np(centers: np.ndarray, eb: int, n_atoms: int,
     the narrow window pair (callers fall back to ``wr = eb``).
     """
     wr = eb if wr is None else wr
+    if wr != eb and wr % 8 != 0:
+        # sublane-axis block shapes must be 8-row multiples — Mosaic would
+        # otherwise reject the (wr, eb) window blocks only at compile time,
+        # deep inside the first force step, with an opaque error (ADVICE r4)
+        raise ValueError(
+            f"window_rows={wr} is not a multiple of 8 (TPU sublane tile); "
+            f"use a multiple of 8 or wr={eb}"
+        )
     centers = np.asarray(centers)
     real = centers[centers < n_atoms] if centers.size else centers
     if real.size and (np.diff(real) < 0).any():

@@ -27,8 +27,11 @@ _ft.set_onehot_passes(int(os.environ.get("ALLEGRO_ONEHOT_PASSES", "2")))
 
 
 def main():
-    batch, n_edges = _crystal_frame(N_ATOMS, 4.0)
-    n_atoms = batch[keys.POSITIONS].shape[0]
+    # _crystal_frame returns (frame, n_atoms) — the edge count comes from the
+    # frame's neighbor list (ADVICE r4: unpacking the second value as n_edges
+    # made avg_num_neighbors = 1.0, mis-normalizing the traced model)
+    batch, n_atoms = _crystal_frame(N_ATOMS, 4.0)
+    n_edges = batch[keys.EDGE_INDEX].shape[1]
     model = _flagship_model(n_edges / n_atoms, "fused_infer", 4.0)
     batch = model.precompute_statics(batch)
     params = model.init(0, batch)

@@ -23,9 +23,13 @@ pytestmark = pytest.mark.slow
 
 R_MAX = 2.5
 
-# bf16 storage keeps ~3 significant decimal digits on the tensor track;
-# measured end-to-end rel force error is ~1.4e-4 on production configs
-# (TODO.md round-2 sweep). Pin 6e-4 as the hard ceiling.
+# The production pin is the reference's own compiled-model acceptance
+# criterion: elementwise |Δf| <= atol + rtol·|f_ref| with rtol = atol = 5e-5
+# (/root/reference/tests/model/test_allegro.py:72-74), asserted below for the
+# exact 100k-atom policy (bf16 tensor track + 2-pass one-hot + "high" dots)
+# at flagship widths (VERDICT r4 #4). Auxiliary quantities (energy, toy-width
+# configs) keep a measured ceiling.
+REF_ATOL = REF_RTOL = 5e-5
 BF16_REL_FORCE_TOL = 6e-4
 
 
@@ -68,10 +72,12 @@ def _model(backend, tensor_dtype=None, model_dtype="float32"):
     )
 
 
-def _flagship_model(backend, tensor_dtype=None, model_dtype="float32"):
+def _flagship_model(backend, tensor_dtype=None, model_dtype="float32", **policy):
     """The bench flagship shape (U=32): bf16 rounding error on the tensor
     track is amplified at toy widths (measured 4e-3 rel at U=4 vs 2.2e-4 at
-    U=32) — the guard must pin the configuration the headline is measured in."""
+    U=32) — the guard must pin the configuration the headline is measured in.
+    ``policy`` carries the headline precision knobs (onehot_passes,
+    precision) so the test pins the EXACT 100k policy, not a lookalike."""
     return AllegroModel(
         r_max=4.0,
         type_names=["A", "B", "C"],
@@ -86,6 +92,7 @@ def _flagship_model(backend, tensor_dtype=None, model_dtype="float32"):
         model_dtype=model_dtype,
         tp_kernel_backend=backend,
         tensor_dtype=tensor_dtype,
+        **policy,
     )
 
 
@@ -108,11 +115,17 @@ def _crystal_data(dtype):
 
 @pytest.mark.parametrize("backend", ["fused", "fused_infer"])
 def test_bf16_storage_force_accuracy_vs_f64_oracle(backend):
-    """The 100k-atom configuration's numerics: f32 flagship-shaped model with
-    bf16 tensor track on a periodic crystal vs the float64 einsum oracle,
-    explicit relative force tolerance (max-norm AND mean-norm)."""
+    """The 100k-atom production policy's numerics, pinned at the reference's
+    own acceptance criterion (VERDICT r4 #4): f32 flagship-shaped model with
+    bf16 tensor track + 2-pass one-hot + "high" dots (exactly what bench.py
+    runs at 100k) on a periodic crystal vs the float64 einsum oracle, must
+    satisfy elementwise |Δf| <= 5e-5 + 5e-5·|f_ref| — the reference's
+    compiled-f32-model allclose (tests/model/test_allegro.py:72-74). This
+    test FAILS if the 100k policy stops meeting the reference tolerance."""
     oracle = _flagship_model("einsum", model_dtype="float64")
-    bf16 = _flagship_model(backend, tensor_dtype="bfloat16")
+    bf16 = _flagship_model(
+        backend, tensor_dtype="bfloat16", onehot_passes=2, precision="high"
+    )
     data64 = _crystal_data(np.float64)
     data32 = _crystal_data(np.float32)
     params = oracle.init(0, data64)
@@ -123,13 +136,12 @@ def test_bf16_storage_force_accuracy_vs_f64_oracle(backend):
     out_bf = bf16(params32, data32)
     f_ref = np.asarray(out_ref[keys.FORCES], dtype=np.float64)
     f_bf = np.asarray(out_bf[keys.FORCES], dtype=np.float64)
-    scale = max(float(np.abs(f_ref).max()), 1e-3)
-    max_rel = float(np.abs(f_bf - f_ref).max()) / scale
-    mae_rel = float(np.abs(f_bf - f_ref).mean()) / max(
-        float(np.abs(f_ref).mean()), 1e-3
+    # reference acceptance form: pass iff max(|Δf| - rtol·|f_ref|) <= atol
+    margin = float((np.abs(f_bf - f_ref) - REF_RTOL * np.abs(f_ref)).max())
+    assert margin <= REF_ATOL, (
+        f"bf16-track policy violates the reference 5e-5 allclose: "
+        f"margin {margin:.3e} > atol {REF_ATOL:.0e}"
     )
-    assert max_rel < BF16_REL_FORCE_TOL, f"bf16 max rel force err {max_rel:.3e}"
-    assert mae_rel < BF16_REL_FORCE_TOL, f"bf16 rel force MAE {mae_rel:.3e}"
     e_ref = float(np.asarray(out_ref[keys.TOTAL_ENERGY]).sum())
     e_bf = float(np.asarray(out_bf[keys.TOTAL_ENERGY]).sum())
     assert abs(e_bf - e_ref) / max(abs(e_ref), 1e-3) < BF16_REL_FORCE_TOL

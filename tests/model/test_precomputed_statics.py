@@ -109,9 +109,12 @@ def test_no_fused_readout_killswitch(rng, monkeypatch):
     the exact XLA readout — including trimming the mega path's padded
     scalar blocks — with identical outputs."""
     model = _model("fused_infer")
-    data = _data(np.random.RandomState(7))
+    # seed 3: CENTER_RANK_IDENTITY armed, so the fused readout actually runs
+    # on the baseline side (seed 7 left it dark — XLA vs XLA, vacuous)
+    data = _data(np.random.RandomState(3))
     params = model.init(0, data)
     pre = model.precompute_statics(data)
+    assert keys.CENTER_RANK_IDENTITY in pre
     out_fused = model.apply_with_derivatives(params, pre)
     monkeypatch.setenv("ALLEGRO_NO_FUSED_READOUT", "1")
     out_xla = model.apply_with_derivatives(params, pre)
@@ -123,6 +126,63 @@ def test_no_fused_readout_killswitch(rng, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(out_xla[keys.FORCES]),
         np.asarray(out_fused[keys.FORCES]),
+        atol=1e-11,
+    )
+
+
+def _kernel_names(model, params, data):
+    jx = str(jax.make_jaxpr(lambda p, d: model.apply(p, d))(params, data))
+    return {tag: tag in jx for tag in ("mega_latent_env", "readout_sum_infer")}
+
+
+def test_kernel_selection_travels_with_model(rng, monkeypatch):
+    """use_mega / use_fused_readout are MODEL settings (VERDICT r4 #6):
+    serialized in builder_kwargs, they win over the process env kill-switches
+    so exported artifacts and rebuilds replay with identical kernel
+    selection (reference analogue: modifier persistence,
+    _contract.py:253-310)."""
+    from allegro_tpu.model import FullAllegroModel
+
+    data = _data(np.random.RandomState(3))  # seed 3 arms CENTER_RANK_IDENTITY
+    # builder_kwargs carry the FULL builder's signature (what _rebuild and
+    # the package loader replay)
+    base = _model("fused_infer").builder_kwargs
+
+    # explicit off: no mega/readout kernels even with a clean env
+    monkeypatch.delenv("ALLEGRO_NO_MEGA", raising=False)
+    monkeypatch.delenv("ALLEGRO_NO_FUSED_READOUT", raising=False)
+    m_off = FullAllegroModel(
+        **{**base, "use_mega": False, "use_fused_readout": False}
+    )
+    pre = m_off.precompute_statics(data)
+    assert keys.CENTER_RANK_IDENTITY in pre  # fused readout eligible
+    params = m_off.init(0, pre)
+    names = _kernel_names(m_off, params, pre)
+    assert not names["mega_latent_env"] and not names["readout_sum_infer"]
+
+    # explicit on: the kernels run even under the env kill-switches
+    monkeypatch.setenv("ALLEGRO_NO_MEGA", "1")
+    monkeypatch.setenv("ALLEGRO_NO_FUSED_READOUT", "1")
+    m_on = FullAllegroModel(
+        **{**base, "use_mega": True, "use_fused_readout": True}
+    )
+    names = _kernel_names(m_on, params, pre)
+    assert names["mega_latent_env"] and names["readout_sum_infer"]
+
+    # a rebuild from serialized builder_kwargs (the package/modifier path)
+    # keeps the selection under the same hostile env
+    m_rt = FullAllegroModel(**m_on.builder_kwargs)
+    names = _kernel_names(m_rt, params, pre)
+    assert names["mega_latent_env"] and names["readout_sum_infer"]
+
+    # outputs agree between the selections (env cleared for the off model)
+    monkeypatch.delenv("ALLEGRO_NO_MEGA", raising=False)
+    monkeypatch.delenv("ALLEGRO_NO_FUSED_READOUT", raising=False)
+    out_on = m_on.apply_with_derivatives(params, pre)
+    out_off = m_off.apply_with_derivatives(params, pre)
+    np.testing.assert_allclose(
+        np.asarray(out_on[keys.FORCES]),
+        np.asarray(out_off[keys.FORCES]),
         atol=1e-11,
     )
 
