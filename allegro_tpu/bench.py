@@ -400,6 +400,104 @@ def _fused_eb(model):
         return None
 
 
+def run_streamed_benchmark(
+    n_atoms=100000, r_max=4.0, n_chunks=8, tensor_dtype=None, iters=None,
+    verbose=False,
+):
+    """µs/atom for a streamed (center-chunked) force call — EXACT f32 storage
+    at the 100k-atom north-star size on one chip (VERDICT r4 #3: the
+    monolithic f32 step compile-OOMs at ~97k on 16 GB even with remat).
+    Strict locality makes the chunked evaluation arithmetically identical to
+    the monolithic one (tests/md/test_streaming.py); peak activation memory
+    is ~1/n_chunks, so no remat and no bf16 track are needed."""
+    import jax
+    import jax.numpy as jnp
+
+    from allegro_tpu.data import batch_frames, keys, to_jax
+    from allegro_tpu.md.streaming import make_streamed_energy_forces_fn, build_chunks
+
+    t0 = time.time()
+    frame, n_atoms = _crystal_frame(n_atoms, r_max)
+    n_edges = frame[keys.EDGE_INDEX].shape[1]
+    eb_pad = int(os.environ.get("BENCH_FUSED_EB", "512"))
+    batch = to_jax(
+        batch_frames([frame], n_frames=1, edge_multiple=max(eb_pad, 128)),
+        dtype=np.float32,
+    )
+    if verbose:
+        print(
+            f"streamed neighbor list: {n_edges} edges in {time.time() - t0:.1f}s",
+            file=sys.stderr,
+        )
+    model = _flagship_model(
+        n_edges / n_atoms, "fused_infer", r_max, remat=False,
+        tensor_dtype=tensor_dtype or "none",
+    )
+    t0 = time.time()
+    stacked = build_chunks(batch, model, n_chunks)
+    if verbose:
+        print(f"chunk build ({n_chunks}): {time.time() - t0:.1f}s", file=sys.stderr)
+    params = model.init(0, model.precompute_statics(batch))
+    ef = make_streamed_energy_forces_fn(model, params, stacked)
+
+    @jax.jit
+    def force_step(pos, d):
+        e, f = ef(pos + d)
+        return 1e-4 * f
+
+    pos = batch[keys.POSITIONS]
+    d = jnp.zeros_like(pos)
+    t0 = time.time()
+    d = force_step(pos, d)
+    _ = float(d.sum())
+    if verbose:
+        print(f"streamed compile+first: {time.time() - t0:.1f}s", file=sys.stderr)
+    for _ in range(2):
+        d = force_step(pos, d)
+    _ = float(d.sum())
+    if iters is None:
+        iters = 10 if n_atoms > 50000 else 40
+    t0 = time.time()
+    for _ in range(iters):
+        d = force_step(pos, d)
+    _ = float(d.sum())
+    us_per_atom = (time.time() - t0) / iters / n_atoms * 1e6
+    return {
+        "us_per_atom": round(us_per_atom, 4),
+        "n_atoms": int(n_atoms),
+        "n_chunks": int(n_chunks),
+        "tensor_dtype": tensor_dtype or "float32",
+        "timing_iters": int(iters),
+    }
+
+
+def run_streamed_subprocess(n_atoms, n_chunks=8, timeout=1800, env_extra=None):
+    """Streamed bench in a CLEAN subprocess (OOM isolation, same rationale as
+    ``run_bench_subprocess``)."""
+    env = dict(os.environ)
+    env.update(env_extra or {})
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "allegro_tpu.bench",
+            "--streamed", str(n_atoms), str(n_chunks),
+        ],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=timeout,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"streamed subprocess rc={proc.returncode}: "
+            + (proc.stdout.strip().splitlines() or [""])[-1][-200:]
+            + (proc.stderr.strip().splitlines() or [""])[-1][-200:]
+        )
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except ValueError:
+            continue
+    raise RuntimeError("streamed subprocess printed no JSON line")
+
+
 def run_train_bench(batch_size=16, steps=100, verbose=False):
     """Train samples/sec: jitted Adam step with energy+force loss (the
     second-order-AD path the reference trains with) on 21-atom frames."""
@@ -970,6 +1068,13 @@ if __name__ == "__main__":
         _oracle_main(sys.argv[i + 1], sys.argv[i + 2])
         sys.exit(0)
     _setup_compile_cache()
+    if "--streamed" in sys.argv:
+        i = sys.argv.index("--streamed")
+        n = int(sys.argv[i + 1])
+        k = int(sys.argv[i + 2]) if len(sys.argv) > i + 2 else 8
+        print(json.dumps(run_streamed_benchmark(n_atoms=n, n_chunks=k,
+                                                verbose="-v" in sys.argv)))
+        sys.exit(0)
     if "--lmax3" in sys.argv:
         i = sys.argv.index("--lmax3")
         n = int(sys.argv[i + 1])

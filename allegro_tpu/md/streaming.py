@@ -1,0 +1,287 @@
+"""Center-chunked streaming evaluation: beyond-HBM systems on one chip.
+
+Strict locality makes the total energy an exact sum over per-center terms
+(the property pair_allegro's MPI domain decomposition exploits spatially —
+ghost-atom contract at ``/root/reference/allegro/_compile.py:28-63``). This
+module applies the same decomposition *serially on a single chip*: the
+center-sorted edge set is split into K contiguous chunks at center
+boundaries, so every per-center environment sum lives entirely inside one
+chunk, and the whole force call runs as one ``lax.scan`` over stacked chunk
+batches. Peak activation memory drops to ~1/K of the monolithic step while
+arithmetic is UNCHANGED (edges are partitioned, not duplicated — only the
+position gather reads boundary atoms more than once).
+
+This is what fits the 100k-atom north-star system at exact f32 storage on a
+16 GB chip (the monolithic f32 step compile-OOMs at ~97k even with per-layer
+remat + energy checkpointing), and scales to ~1M atoms in bf16: the
+residual set is one chunk's activations + the O(N) global arrays.
+
+TPU-first notes: chunks are padded to uniform (atoms, edges) sizes so the
+scan body is ONE compiled program; the fused-kernel block plans are built
+per chunk host-side (`Model.precompute_statics`) and stacked — the
+narrow-window plan rides each chunk exactly as it does a monolithic batch.
+Forces come from one ``jax.grad`` THROUGH the scan (the gather's transpose
+is the ghost-force scatter-add); each scan body is ``jax.checkpoint`` ed so
+the backward re-runs one chunk at a time.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+from ..data import keys, round_up
+
+LOCAL_IDX = "stream_local_idx"  # [La] int32 — global atom id per local row
+
+
+def build_chunks(
+    data: Dict,
+    model,
+    n_chunks: int,
+    atom_multiple: int = 8,
+) -> Dict:
+    """Split a single-frame batch into K stacked chunk batches (host-side).
+
+    ``data``: a padded single-frame batch (center-sorted edges — the
+    neighbor-list build order). Returns a dict of arrays with a leading
+    ``[K, ...]`` axis, ready for ``lax.scan``; per-chunk fused block plans
+    are attached via ``model.precompute_statics``.
+    """
+    eidx = np.asarray(data[keys.EDGE_INDEX])
+    types = np.asarray(data[keys.ATOM_TYPES])
+    shifts = (
+        np.asarray(data[keys.EDGE_CELL_SHIFT])
+        if keys.EDGE_CELL_SHIFT in data
+        else None
+    )
+    node_mask = (
+        np.asarray(data[keys.NODE_MASK])
+        if keys.NODE_MASK in data
+        else np.ones(types.shape[0], bool)
+    )
+    n_real = int(node_mask.sum())
+    assert node_mask[:n_real].all(), "real atoms must be contiguous"
+    centers, neighbors = eidx[0], eidx[1]
+    E = (
+        int(np.asarray(data[keys.EDGE_MASK]).sum())
+        if keys.EDGE_MASK in data
+        else eidx.shape[1]
+    )
+    centers, neighbors = centers[:E], neighbors[:E]
+    if not (np.diff(centers) >= 0).all():
+        raise ValueError("streaming requires center-sorted edges")
+    if shifts is not None:
+        shifts = shifts[:E]
+
+    # chunk boundaries on ATOM ids (atoms are partitioned even if edgeless):
+    # cut where the cumulative edge count crosses k/K of the total
+    edges_per_atom = np.bincount(centers, minlength=n_real)
+    cum = np.concatenate([[0], np.cumsum(edges_per_atom)])  # [n_real+1]
+    cuts = [0]
+    for k in range(1, n_chunks):
+        c = int(np.searchsorted(cum, k * E / n_chunks))
+        cuts.append(min(max(c, cuts[-1] + 1), n_real))
+    cuts.append(n_real)
+
+    chunks = []
+    eb = None
+    bk = model.builder_kwargs or {}
+    if bk.get("tp_kernel_backend") in ("fused", "fused_infer"):
+        from ..nn.allegro import FUSED_BLOCK_EDGES
+
+        eb = bk.get("fused_block_edges") or FUSED_BLOCK_EDGES
+    for k in range(n_chunks):
+        c0, c1 = cuts[k], cuts[k + 1]
+        e0, e1 = int(cum[c0]), int(cum[c1])
+        nbr = neighbors[e0:e1]
+        ghost = np.unique(nbr[(nbr < c0) | (nbr >= c1)])
+        n_own = c1 - c0
+        lnbr = np.where(
+            (nbr >= c0) & (nbr < c1),
+            nbr - c0,
+            n_own + np.searchsorted(ghost, nbr) if ghost.size else 0,
+        ).astype(np.int32)
+        chunks.append(
+            dict(
+                c0=c0,
+                n_own=n_own,
+                gidx=np.concatenate([np.arange(c0, c1), ghost]).astype(np.int32),
+                lcent=(centers[e0:e1] - c0).astype(np.int32),
+                lnbr=lnbr,
+                shifts=shifts[e0:e1] if shifts is not None else None,
+                ne=e1 - e0,
+            )
+        )
+
+    La = round_up(max(len(c["gidx"]) for c in chunks) + 1, atom_multiple)
+    El = round_up(max(c["ne"] for c in chunks), max(eb or 128, 128))
+
+    import contextlib
+
+    import jax
+
+    # pin the statics build to the CPU backend: precompute_statics wraps its
+    # outputs as jnp arrays, and on a remote-tunnel TPU backend the
+    # np.asarray readback would round-trip every plan array through the chip
+    # (~100 s at 20k atoms, measured)
+    try:
+        _cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        _cpu = None
+
+    stacked: Dict[str, list] = {}
+    for c in chunks:
+        nl = len(c["gidx"])
+        d: Dict[str, np.ndarray] = {}
+        d[LOCAL_IDX] = np.concatenate(
+            [c["gidx"], np.zeros(La - nl, np.int32)]
+        )
+        d[keys.ATOM_TYPES] = np.concatenate(
+            [types[c["gidx"]], np.zeros(La - nl, np.int32)]
+        )
+        # owned atoms only: ghost rows must not contribute per-type shifts
+        # or per-atom energies (their centers live in another chunk)
+        m = np.zeros(La, bool)
+        m[: c["n_own"]] = True
+        d[keys.NODE_MASK] = m
+        ei = np.full((2, El), La, np.int32)  # sentinel-padded, stays sorted
+        ei[0, : c["ne"]] = c["lcent"]
+        ei[1, : c["ne"]] = c["lnbr"]
+        d[keys.EDGE_INDEX] = ei
+        em = np.zeros(El, bool)
+        em[: c["ne"]] = True
+        d[keys.EDGE_MASK] = em
+        if c["shifts"] is not None:
+            sh = np.zeros((El, 3), c["shifts"].dtype)
+            sh[: c["ne"]] = c["shifts"]
+            d[keys.EDGE_CELL_SHIFT] = sh
+        d[keys.BATCH] = np.zeros(La, np.int32)
+        d[keys.NUM_NODES] = np.asarray([c["n_own"]], np.int32)
+        d[keys.FRAME_MASK] = np.ones(1, bool)
+        if keys.CELL in data:
+            d[keys.CELL] = np.asarray(data[keys.CELL]).reshape(1, 3, 3)
+            d[keys.PBC] = np.asarray(data[keys.PBC]).reshape(1, 3)
+        # placeholder positions — replaced in-graph by the global gather
+        d[keys.POSITIONS] = np.zeros((La, 3), np.float32)
+        ctx = (
+            jax.default_device(_cpu) if _cpu is not None
+            else contextlib.nullcontext()
+        )
+        with ctx:
+            d = {
+                k: np.asarray(v)
+                for k, v in model.precompute_statics(d).items()
+            }
+        for k_, v in d.items():
+            stacked.setdefault(k_, []).append(v)
+
+    # presence keys must agree across chunks (the scan body is traced once);
+    # drop any key a chunk is missing
+    n_have = {k_: len(v) for k_, v in stacked.items()}
+    out = {}
+    for k_, v in stacked.items():
+        if n_have[k_] != n_chunks:
+            continue
+        if any(x.shape != v[0].shape for x in v[1:]):
+            continue  # e.g. a chunk's narrow plan was rejected → classic
+        out[k_] = np.stack(v)
+    return out
+
+
+def make_streamed_energy_forces_fn(
+    model,
+    params,
+    stacked: Dict,
+    with_stress: bool = False,
+    checkpoint: bool = True,
+):
+    """``fn(pos) -> (E, forces)`` (or ``(E, forces, virial)``).
+
+    ``pos`` is the GLOBAL padded position array the chunk ``LOCAL_IDX``
+    maps index into. Wrap in ``jax.jit`` at the call site.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    stacked_j = {k: jnp.asarray(v) for k, v in stacked.items()}
+    cell0 = stacked_j.get(keys.CELL)
+
+    def chunk_energy(pos, ch, cell):
+        d = dict(ch)
+        d[keys.POSITIONS] = jnp.take(pos, ch[LOCAL_IDX], axis=0, mode="clip")
+        if cell is not None:
+            d[keys.CELL] = cell
+        out = model.apply(params, d)
+        e = out[keys.TOTAL_ENERGY]
+        return jnp.sum(e * d[keys.FRAME_MASK].astype(e.dtype)[:, None])
+
+    body = jax.checkpoint(chunk_energy) if checkpoint else chunk_energy
+
+    def total_energy(pos, strain):
+        eps = 0.5 * (strain + strain.T)
+        pos = pos + jnp.einsum("ni,ij->nj", pos, eps, precision="highest")
+        if cell0 is not None:
+            cell = cell0[0] + jnp.einsum(
+                "fij,jk->fik", cell0[0], eps, precision="highest"
+            )
+        else:
+            cell = None
+
+        def scan_body(e_acc, ch):
+            return e_acc + body(pos, ch, cell), None
+
+        e, _ = jax.lax.scan(
+            scan_body, jnp.zeros((), pos.dtype), stacked_j
+        )
+        return e
+
+    if with_stress:
+
+        def fn(pos):
+            strain0 = jnp.zeros((3, 3), pos.dtype)
+            e, grads = jax.value_and_grad(total_energy, argnums=(0, 1))(
+                pos, strain0
+            )
+            de_dpos, de_deps = grads
+            return e, -de_dpos, -de_deps
+
+    else:
+
+        def fn(pos):
+            strain0 = jnp.zeros((3, 3), pos.dtype)
+            e, de_dpos = jax.value_and_grad(total_energy)(pos, strain0)
+            return e, -de_dpos
+
+    return fn
+
+
+class StreamedEvaluator:
+    """Energy/forces for one (large) frame, evaluated in K center chunks.
+
+    >>> ev = StreamedEvaluator(model, params, batch, n_chunks=8)
+    >>> e, f = ev(positions)          # jitted, device-resident
+    """
+
+    def __init__(
+        self,
+        model,
+        params,
+        data: Dict,
+        n_chunks: int,
+        with_stress: bool = False,
+        jit: bool = True,
+    ):
+        import jax
+
+        self.n_rows = int(np.asarray(data[keys.POSITIONS]).shape[0])
+        self.stacked = build_chunks(data, model, n_chunks)
+        self.n_chunks = n_chunks
+        fn = make_streamed_energy_forces_fn(
+            model, params, self.stacked, with_stress=with_stress
+        )
+        self.fn = jax.jit(fn) if jit else fn
+
+    def __call__(self, positions):
+        return self.fn(positions)

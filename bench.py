@@ -76,6 +76,7 @@ from allegro_tpu.bench import (  # noqa: E402
     run_lmax3_subprocess,
     run_parity,
     run_policy_parity,
+    run_streamed_subprocess,
     run_train_bench,
     run_train_bench_1k,
     run_train_stress_bench,
@@ -196,6 +197,17 @@ def _stage_74k_f32(result, verbose, budget_s):
     result["extra"]["us_per_atom_74k_f32"] = r74["value"]
 
 
+def _stage_100k_f32_streamed(result, verbose, budget_s):
+    # the 100k-atom north-star at EXACT f32 storage (VERDICT r4 #3): the
+    # monolithic f32 step compile-OOMs at ~97k on 16 GB; the center-chunked
+    # streaming evaluator bounds peak activation memory to ~1/K with
+    # arithmetic identical to the monolithic step (strict locality —
+    # tests/md/test_streaming.py). Clean subprocess (OOM isolation).
+    r = run_streamed_subprocess(100000, n_chunks=8, timeout=budget_s)
+    result["extra"]["us_per_atom_100k_f32_streamed"] = r["us_per_atom"]
+    result["extra"]["streamed_n_chunks"] = r["n_chunks"]
+
+
 def _stage_lmax3_scale(result, verbose, budget_s):
     # l_max=3 at scale (VERDICT r3 #8): try the 100k headline size, fall back
     # to smaller systems to report the single-chip CEILING of the O(l_max^6)
@@ -242,6 +254,7 @@ STAGES = [
     ("force_mae_vs_f64_exact", 150, _stage_parity_exact),
     ("kernel_smoke", 200, _stage_smoke),
     ("us_per_atom_lmax3", 180, _stage_lmax3),
+    ("us_per_atom_100k_f32_streamed", 300, _stage_100k_f32_streamed),
     ("us_per_atom_74k_f32", 280, _stage_74k_f32),
     ("us_per_atom_lmax3_at_scale", 300, _stage_lmax3_scale),
     ("train_stress_samples_per_sec", 200, _stage_stress),
