@@ -109,7 +109,7 @@ FUSED_BLOCK_EDGES = int(os.environ.get("ALLEGRO_FUSED_EB", "128"))
 # valid for ANY edge distribution). wr < eb narrows the window pair to one
 # <=128-row MXU operand per one-hot product; combined with a big eb it also
 # amortizes per-grid-step overheads (eb=512/wr=64: 1.27x over eb=128 classic
-# at flagship density, scripts/probe_wr.py). Validity depends on the edge
+# at flagship density, recorded in the driver bench JSON). Validity depends on the edge
 # distribution: Model.precompute_statics validates on host and silently
 # degrades to wr = eb; the wr actually in force travels with the plan
 # (shape of data[FUSED_WR]). Process default only — the builder kwarg

@@ -3,7 +3,8 @@ must produce identical results under a wr=eb plan and a narrow wr=eb/2 plan
 (same math, different window blocking — the wr=64 fast path halves the MXU
 cost of every one-hot window product at the production eb=128).
 
-Interpret mode on CPU; the silicon race lives in scripts/probe_wr.py."""
+Interpret mode on CPU; the silicon verdict (eb=512/wr=64, 1.42x) is the
+wired flagship default, recorded in the driver bench JSON."""
 
 import numpy as np
 import jax
