@@ -140,12 +140,7 @@ def run_benchmark(n_atoms=4096, r_max=4.0, iters=None, warmup=3, verbose=False, 
     # pad edges to the fused edge-block multiple AT BATCH TIME so the model
     # never pays in-graph pads/slices on the per-edge arrays (E == Ep)
     eb_pad = int(os.environ.get("BENCH_FUSED_EB", "512"))
-    batch = to_jax(
-        batch_frames(
-            [frame], n_frames=1, edge_multiple=max(eb_pad, 128)
-        ),
-        dtype=np.float32,
-    )
+    batch_np = batch_frames([frame], n_frames=1, edge_multiple=max(eb_pad, 128))
 
     if backend is None:
         backend = os.environ.get("BENCH_BACKEND")
@@ -173,8 +168,10 @@ def run_benchmark(n_atoms=4096, r_max=4.0, iters=None, warmup=3, verbose=False, 
 
         model = _dc.replace(model, checkpoint_energy=True)
     # position-independent per-edge statics (edge types, fused block plan):
-    # computed once per neighbor list, like a real MD loop would
-    batch = model.precompute_statics(batch)
+    # computed once per neighbor list, like a real MD loop would — on the
+    # HOST batch, before upload (a device→host readback over the TPU tunnel
+    # costs minutes, measured r5)
+    batch = to_jax(model.precompute_statics(batch_np), dtype=np.float32)
     params = model.init(0, batch)
 
     # NOTE timing methodology: each step's input depends on the previous
@@ -420,10 +417,9 @@ def run_streamed_benchmark(
     frame, n_atoms = _crystal_frame(n_atoms, r_max)
     n_edges = frame[keys.EDGE_INDEX].shape[1]
     eb_pad = int(os.environ.get("BENCH_FUSED_EB", "512"))
-    batch = to_jax(
-        batch_frames([frame], n_frames=1, edge_multiple=max(eb_pad, 128)),
-        dtype=np.float32,
-    )
+    # statics/chunks on the HOST batch, then one upload (device readbacks
+    # over the TPU tunnel cost minutes, measured r5)
+    batch_np = batch_frames([frame], n_frames=1, edge_multiple=max(eb_pad, 128))
     if verbose:
         print(
             f"streamed neighbor list: {n_edges} edges in {time.time() - t0:.1f}s",
@@ -434,10 +430,11 @@ def run_streamed_benchmark(
         tensor_dtype=tensor_dtype or "none",
     )
     t0 = time.time()
-    stacked = build_chunks(batch, model, n_chunks)
+    stacked = build_chunks(batch_np, model, n_chunks)
     if verbose:
         print(f"chunk build ({n_chunks}): {time.time() - t0:.1f}s", file=sys.stderr)
-    params = model.init(0, model.precompute_statics(batch))
+    batch = to_jax(model.precompute_statics(batch_np), dtype=np.float32)
+    params = model.init(0, batch)
     ef = make_streamed_energy_forces_fn(model, params, stacked)
 
     @jax.jit
@@ -512,8 +509,11 @@ def run_train_bench(batch_size=16, steps=100, verbose=False):
     from allegro_tpu.data.neighborlist import neighbor_list
 
     frames = [neighbor_list(f, 4.0) for f in frames]
-    batch = to_jax(batch_frames(frames, n_frames=batch_size), dtype=np.float32)
-    n_edges = int(np.asarray(batch[keys.EDGE_MASK]).sum())
+    # edge count from the HOST batch (a device readback over the TPU tunnel
+    # can cost minutes when the link degrades, measured r5)
+    batch_np = batch_frames(frames, n_frames=batch_size)
+    n_edges = int(batch_np[keys.EDGE_MASK].sum())
+    batch = to_jax(batch_np, dtype=np.float32)
     model = _flagship_model(
         max(n_edges / (21 * batch_size), 1.0), backend="fused", r_max=4.0,
         fused_eb=128,  # classic train plan — see _flagship_model note
@@ -569,8 +569,9 @@ def run_train_bench_1k(batch_size=4, n_atoms=1000, steps=20, verbose=False):
     for s in range(batch_size):
         f, na = _crystal_frame(n_atoms, 4.0, seed=200 + s)
         frames.append(f)
-    batch = to_jax(batch_frames(frames, n_frames=batch_size), dtype=np.float32)
-    n_edges = int(np.asarray(batch[keys.EDGE_MASK]).sum())
+    batch_np = batch_frames(frames, n_frames=batch_size)
+    n_edges = int(batch_np[keys.EDGE_MASK].sum())
+    batch = to_jax(batch_np, dtype=np.float32)
     model = _flagship_model(
         n_edges / (na * batch_size), backend="fused", r_max=4.0,
         fused_eb=128,  # classic train plan — see _flagship_model note
@@ -624,7 +625,7 @@ def run_lmax3_bench(n_atoms=4096, r_max=4.0, iters=40, warmup=2, verbose=False):
 
     frame, n_atoms = _crystal_frame(n_atoms, r_max)
     n_edges = frame[keys.EDGE_INDEX].shape[1]
-    batch = to_jax(batch_frames([frame], n_frames=1), dtype=np.float32)
+    batch_np = batch_frames([frame], n_frames=1)
     # same memory policy as the headline bench: past the single-chip f32
     # ceiling, per-layer remat + whole-energy checkpoint + bf16 tensor track
     big = n_atoms > 20000  # l_max=3 tensor track is ~2.3x wider than l_max=2
@@ -649,7 +650,7 @@ def run_lmax3_bench(n_atoms=4096, r_max=4.0, iters=40, warmup=2, verbose=False):
         tensor_dtype="bfloat16" if big else None,
         **extra,
     )
-    batch = model.precompute_statics(batch)
+    batch = to_jax(model.precompute_statics(batch_np), dtype=np.float32)
     params = model.init(0, batch)
 
     @jax.jit
@@ -689,8 +690,9 @@ def run_train_stress_bench(batch_size=4, n_atoms=64, steps=50, verbose=False):
     for s in range(batch_size):
         f, _ = _crystal_frame(n_atoms, 4.0, seed=100 + s)
         frames.append(f)
-    batch = to_jax(batch_frames(frames, n_frames=batch_size), dtype=np.float32)
-    n_edges = int(np.asarray(batch[keys.EDGE_MASK]).sum())
+    batch_np = batch_frames(frames, n_frames=batch_size)
+    n_edges = int(batch_np[keys.EDGE_MASK].sum())
+    batch = to_jax(batch_np, dtype=np.float32)
     model = _flagship_model(
         n_edges / (n_atoms * batch_size), backend="fused", r_max=4.0,
         fused_eb=128,  # classic train plan — see _flagship_model note
@@ -751,7 +753,8 @@ def run_kernel_smoke(n_atoms=512, verbose=False):
 
     frame, n_atoms = _crystal_frame(n_atoms, 4.0, seed=3)
     n_edges = frame[keys.EDGE_INDEX].shape[1]
-    batch = to_jax(batch_frames([frame], n_frames=1), dtype=np.float32)
+    batch_np = batch_frames([frame], n_frames=1)
+    batch = to_jax(batch_np, dtype=np.float32)
     # both models pinned to the fully EXACT policy (HIGHEST dots, 3-pass
     # one-hot) regardless of the bench's headline policy: the smoke detects
     # Mosaic miscompiles — the reduced-policy accuracy is validated by the
@@ -769,7 +772,7 @@ def run_kernel_smoke(n_atoms=512, verbose=False):
         oracle = _flagship_model(
             n_edges / n_atoms, "einsum", tensor_dtype="none", precision="highest"
         )
-        b_f = fused.precompute_statics(batch)
+        b_f = to_jax(fused.precompute_statics(batch_np), dtype=np.float32)
         params = fused.init(0, b_f)
         out_f = jax.jit(lambda p, b: fused.apply_with_derivatives(p, b))(params, b_f)
         out_o = jax.jit(lambda p, b: oracle.apply_with_derivatives(p, b))(params, batch)
@@ -786,7 +789,7 @@ def run_kernel_smoke(n_atoms=512, verbose=False):
 
     # trainable backend: one grad through the primitive kernels
     train = _flagship_model(n_edges / n_atoms, "fused", tensor_dtype="none")
-    b_t = train.precompute_statics(batch)
+    b_t = to_jax(train.precompute_statics(batch_np), dtype=np.float32)
 
     def loss(p):
         out = train.apply_with_derivatives(p, b_t)
@@ -886,12 +889,12 @@ def _run_parity_inner(n_atoms, verbose, precision=None, tensor_dtype=None,
 
     frame, n_atoms = _crystal_frame(n_atoms, 4.0, seed=7)
     n_edges = frame[keys.EDGE_INDEX].shape[1]
-    batch = to_jax(batch_frames([frame], n_frames=1), dtype=np.float32)
+    batch_np = batch_frames([frame], n_frames=1)
     model = _flagship_model(
         n_edges / n_atoms, backend="fused_infer", precision=precision,
         tensor_dtype=tensor_dtype or "none",
     )
-    batch = model.precompute_statics(batch)
+    batch = to_jax(model.precompute_statics(batch_np), dtype=np.float32)
     params = model.init(0, batch)
     out = jax.jit(lambda p, b: model.apply_with_derivatives(p, b))(params, batch)
     f32 = np.asarray(out[keys.FORCES], np.float64)[:n_atoms]
@@ -923,6 +926,9 @@ def _oracle_forces_cached(params, n_atoms):
 
     h = hashlib.sha256()
     h.update(str(int(n_atoms)).encode())
+    # ONE device_get for the whole tree: per-leaf np.asarray pays a tunnel
+    # round trip each (minutes total when the link degrades, measured r5)
+    params = jax.device_get(params)
     for leaf in jax.tree_util.tree_leaves(params):
         a = np.ascontiguousarray(np.asarray(leaf))
         h.update(a.dtype.str.encode())
@@ -964,7 +970,10 @@ def _oracle_forces_cached(params, n_atoms):
     _ORACLE_CACHE[key] = f64
     try:
         os.makedirs(cache_dir, exist_ok=True)
-        tmp = cache_file + f".tmp{os.getpid()}"
+        # np.save APPENDS ".npy" to paths without it — name the tmp file
+        # *.npy so os.replace finds it (the r4 form silently never installed
+        # the cache and every driver run re-paid the ~60s oracle subprocess)
+        tmp = cache_file + f".{os.getpid()}.tmp.npy"
         np.save(tmp, f64)
         os.replace(tmp, cache_file)
     except OSError:

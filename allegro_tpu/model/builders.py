@@ -193,8 +193,13 @@ class Model:
     builder_kwargs: Optional[Dict[str, Any]] = None
 
     def init(self, seed: int, example_data: Dict):
-        data = {k: jnp.asarray(v) for k, v in example_data.items()}
-        return self.module.init(jax.random.PRNGKey(seed), data)
+        # ONE jitted init program instead of flax's eager trace: eager init
+        # dispatches ~160 tiny pjit compiles (one per initializer/setup op —
+        # ~90 s over a remote-tunnel backend, measured r5). Under jit the
+        # forward body is dead-code-eliminated at the jaxpr level (only the
+        # params are outputs), the whole thing compiles once, and the
+        # persistent XLA cache makes repeat inits milliseconds.
+        return jax.jit(self.module.init)(jax.random.PRNGKey(seed), example_data)
 
     def precompute_statics(self, data: Dict) -> Dict:
         """Attach position-INdependent per-edge arrays to a batch, on host.
@@ -212,15 +217,18 @@ class Model:
         """
         out = dict(data)
         num_types = len(self.config["type_names"])
-        centers = np.asarray(data[keys.EDGE_INDEX][0])
-        neighbors = np.asarray(data[keys.EDGE_INDEX][1])
-        types = np.asarray(data[keys.ATOM_TYPES])
+        # ONE host readback for the two arrays this needs, then pure numpy:
+        # per-array np.asarray on a remote-tunnel backend pays a round trip
+        # (and an eager slice compile) EACH — ~90 s per call, measured r5.
+        ei, types = jax.device_get((data[keys.EDGE_INDEX], data[keys.ATOM_TYPES]))
+        ei = np.asarray(ei)
+        types = np.asarray(types)
+        centers = ei[0]
+        neighbors = ei[1]
         n_atoms = types.shape[0]
         ct = types[np.clip(centers, 0, n_atoms - 1)]
         nt = types[np.clip(neighbors, 0, n_atoms - 1)]
-        out[keys.EDGE_TYPE] = jnp.asarray(
-            (ct * num_types + nt).astype(np.int32)
-        )
+        out[keys.EDGE_TYPE] = (ct * num_types + nt).astype(np.int32)
         backend = (self.builder_kwargs or {}).get("tp_kernel_backend")
         if backend in ("fused", "fused_infer"):
             from ..nn.allegro import FUSED_BLOCK_EDGES, WINDOW_ROWS
@@ -246,23 +254,23 @@ class Model:
             except ValueError:
                 wr = None
                 win, offs, Ep = make_block_plan_np(centers, eb, n_atoms)
-            out[keys.FUSED_OFFS] = jnp.asarray(offs)
-            out[keys.FUSED_WIN] = jnp.asarray(win)
+            out[keys.FUSED_OFFS] = offs
+            out[keys.FUSED_WIN] = win
             if wr:
                 # wr rides the SHAPE of a tiny static array (absent = eb)
-                out[keys.FUSED_WR] = jnp.zeros((wr,), jnp.int32)
+                out[keys.FUSED_WR] = np.zeros((wr,), np.int32)
                 # classic twin plan for the center ops (lane-axis windows:
                 # a wr < 128 lane block is tile-illegal on TPU)
                 win_c, offs_c, _ = make_block_plan_np(centers, eb, n_atoms)
-                out[keys.FUSED_OFFS_EB] = jnp.asarray(offs_c)
-                out[keys.FUSED_WIN_EB] = jnp.asarray(win_c)
+                out[keys.FUSED_OFFS_EB] = offs_c
+                out[keys.FUSED_WIN_EB] = win_c
             real = centers[centers < n_atoms]
             if real.size and np.array_equal(
                 np.unique(real), np.arange(int(real.max()) + 1)
             ):
                 # rank row r == atom r: the rank-window kernels can serve
                 # atom-indexed gather/scatter (forces, energy reduction)
-                out[keys.CENTER_RANK_IDENTITY] = jnp.ones((), jnp.bool_)
+                out[keys.CENTER_RANK_IDENTITY] = np.ones((), np.bool_)
             # neighbor-sorted twin plan: the NEIGHBOR side of the edge-vector
             # VJP rides the center ops via a static sort permutation — the
             # center ops always use classic (wr = eb) plans (lane-axis
@@ -272,17 +280,17 @@ class Model:
             ).astype(np.int64)
             order = np.argsort(nbr_p, kind="stable").astype(np.int32)
             win2, offs2, _ = make_block_plan_np(nbr_p[order], eb, n_atoms)
-            out[keys.FUSED_OFFS_NBR] = jnp.asarray(offs2)
-            out[keys.FUSED_WIN_NBR] = jnp.asarray(win2)
-            out[keys.NBR_PERM] = jnp.asarray(order)
+            out[keys.FUSED_OFFS_NBR] = offs2
+            out[keys.FUSED_WIN_NBR] = win2
+            out[keys.NBR_PERM] = order
             inv = np.empty_like(order)
             inv[order] = np.arange(Ep, dtype=np.int32)
-            out[keys.NBR_PERM_INV] = jnp.asarray(inv)
+            out[keys.NBR_PERM_INV] = inv
             real_n = neighbors[neighbors < n_atoms]
             if real_n.size and np.array_equal(
                 np.unique(real_n), np.arange(int(real_n.max()) + 1)
             ):
-                out[keys.NBR_RANK_IDENTITY] = jnp.ones((), jnp.bool_)
+                out[keys.NBR_RANK_IDENTITY] = np.ones((), np.bool_)
         return out
 
     def apply(self, params, data: Dict) -> Dict:
