@@ -128,6 +128,13 @@ def run_benchmark(n_atoms=4096, r_max=4.0, iters=None, warmup=3, verbose=False, 
 
     from allegro_tpu.data import batch_frames, keys, to_jax
 
+    t_stage = time.time()
+
+    def _v(msg):
+        if verbose:
+            print(f"  [hl +{time.time() - t_stage:6.1f}s] {msg}", file=sys.stderr)
+            sys.stderr.flush()
+
     t0 = time.time()
     frame, n_atoms = _crystal_frame(n_atoms, r_max)
     n_edges = frame[keys.EDGE_INDEX].shape[1]
@@ -172,7 +179,10 @@ def run_benchmark(n_atoms=4096, r_max=4.0, iters=None, warmup=3, verbose=False, 
     # HOST batch, before upload (a device→host readback over the TPU tunnel
     # costs minutes, measured r5)
     batch = to_jax(model.precompute_statics(batch_np), dtype=np.float32)
+    _v("statics+upload done")
     params = model.init(0, batch)
+    jax.block_until_ready(params)
+    _v("init done")
 
     # NOTE timing methodology: each step's input depends on the previous
     # step's output (like a real MD loop), and a scalar VALUE is fetched at
@@ -219,6 +229,7 @@ def run_benchmark(n_atoms=4096, r_max=4.0, iters=None, warmup=3, verbose=False, 
     _ = float(d.sum())  # forces completion of the whole chain
     dt = (time.time() - t0) / iters
     us_per_atom = dt / n_atoms * 1e6
+    _v(f"timing loop done ({iters} iters)")
 
     # per-phase split: energy-only forward vs the full force call (fwd+bwd) —
     # the VERDICT-r2 "per-phase breakdown" signal
@@ -241,6 +252,7 @@ def run_benchmark(n_atoms=4096, r_max=4.0, iters=None, warmup=3, verbose=False, 
         fwd_ms = (time.time() - t0) / max(iters // 2, 3) * 1e3
     except Exception:
         pass
+    _v("fwd split done")
 
     # measured on-device copy bandwidth: the roofline denominator for the
     # HBM-bound kernels (copy reads+writes 2 bytes per byte of array).
@@ -272,6 +284,7 @@ def run_benchmark(n_atoms=4096, r_max=4.0, iters=None, warmup=3, verbose=False, 
         del big
     except Exception:
         pass
+    _v("copy-bandwidth done")
 
     # modeled HBM traffic of one force call: XLA's own HLO cost analysis
     # ("bytes accessed" sums operand+result bytes per op — for the Pallas
@@ -295,6 +308,7 @@ def run_benchmark(n_atoms=4096, r_max=4.0, iters=None, warmup=3, verbose=False, 
                     roofline_frac = modeled_gb / (dt * copy_gbps)
     except Exception:
         pass
+    _v("cost-analysis done")
 
     # on-chip per-op attribution of the step (VERDICT r3 #1): where the time
     # goes — pallas kernels vs XLA matmuls vs relayout copies — plus the
@@ -312,6 +326,7 @@ def run_benchmark(n_atoms=4096, r_max=4.0, iters=None, warmup=3, verbose=False, 
             breakdown = capture_step_breakdown(_run, iters=10)
         except Exception as e:
             breakdown = {"error": str(e)[:200]}
+        _v("trace capture done")
 
     target = 1.0  # us/atom/step north-star (BASELINE.md)
     from .ops import fused_tp as _ft
@@ -436,27 +451,31 @@ def run_streamed_benchmark(
     batch = to_jax(model.precompute_statics(batch_np), dtype=np.float32)
     params = model.init(0, batch)
     ef = make_streamed_energy_forces_fn(model, params, stacked)
+    # explicit jit args: closed-over chunk statics would be HLO constants —
+    # hundreds of MB at 100k atoms, overflowing the tunnel's remote-compile
+    # request (HTTP 413, measured r5)
+    stacked_dev = jax.device_put(stacked)
 
     @jax.jit
-    def force_step(pos, d):
-        e, f = ef(pos + d)
+    def force_step(pos, d, params, stacked_dev):
+        e, f = ef(pos + d, params, stacked_dev)
         return 1e-4 * f
 
     pos = batch[keys.POSITIONS]
     d = jnp.zeros_like(pos)
     t0 = time.time()
-    d = force_step(pos, d)
+    d = force_step(pos, d, params, stacked_dev)
     _ = float(d.sum())
     if verbose:
         print(f"streamed compile+first: {time.time() - t0:.1f}s", file=sys.stderr)
     for _ in range(2):
-        d = force_step(pos, d)
+        d = force_step(pos, d, params, stacked_dev)
     _ = float(d.sum())
     if iters is None:
         iters = 10 if n_atoms > 50000 else 40
     t0 = time.time()
     for _ in range(iters):
-        d = force_step(pos, d)
+        d = force_step(pos, d, params, stacked_dev)
     _ = float(d.sum())
     us_per_atom = (time.time() - t0) / iters / n_atoms * 1e6
     return {
@@ -495,6 +514,49 @@ def run_streamed_subprocess(n_atoms, n_chunks=8, timeout=1800, env_extra=None):
     raise RuntimeError("streamed subprocess printed no JSON line")
 
 
+def _scanned_samples_per_sec(step_fn, params, opt_state, steps, batch_size,
+                             label, verbose, calls=3):
+    """Samples/s of ``jax.lax.scan`` over jitted train steps.
+
+    ONE dispatch per ``steps`` optimizer steps: at ~1 ms/step device time the
+    per-call host→device dispatch over the TPU tunnel is the same order as
+    the step itself and varies run to run (measured r5: 7.2k vs 11.1k
+    samples/s for the identical program on the same chip) — scanning on
+    device removes it. This is also the production shape of a TPU training
+    loop: trace once, let the device run the epoch.
+
+    ``step_fn(params, opt_state) -> (params, opt_state, loss)`` must be pure.
+    """
+    import jax
+
+    @jax.jit
+    def run(params, opt_state):
+        def body(carry, _):
+            p, o, _prev = carry
+            p, o, loss = step_fn(p, o)
+            return (p, o, loss), None
+
+        (p, o, loss), _ = jax.lax.scan(
+            body,
+            (params, opt_state, jax.numpy.zeros((), jax.numpy.float32)),
+            None,
+            length=steps,
+        )
+        return p, o, loss
+
+    t0 = time.time()
+    params, opt_state, loss = run(params, opt_state)
+    _ = float(loss)
+    if verbose:
+        print(f"{label} compile+first scan({steps}): {time.time() - t0:.1f}s",
+              file=sys.stderr)
+    t0 = time.time()
+    for _ in range(calls):
+        params, opt_state, loss = run(params, opt_state)
+    _ = float(loss)  # chain: each call consumes the previous params
+    return batch_size / ((time.time() - t0) / (calls * steps))
+
+
 def run_train_bench(batch_size=16, steps=100, verbose=False):
     """Train samples/sec: jitted Adam step with energy+force loss (the
     second-order-AD path the reference trains with) on 21-atom frames."""
@@ -524,8 +586,7 @@ def run_train_bench(batch_size=16, steps=100, verbose=False):
     f_true = batch[keys.FORCES]
     e_true = batch[keys.TOTAL_ENERGY].reshape(-1)
 
-    @jax.jit
-    def step(params, opt_state, _k):
+    def step(params, opt_state):
         def loss_fn(p):
             out = model.apply_with_derivatives(params=p, data=batch)
             fmask = batch[keys.NODE_MASK].astype(jnp.float32)[:, None]
@@ -537,19 +598,9 @@ def run_train_bench(batch_size=16, steps=100, verbose=False):
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    t0 = time.time()
-    params, opt_state, loss = step(params, opt_state, 0)
-    _ = float(loss)
-    if verbose:
-        print(f"train compile+first step: {time.time() - t0:.1f}s", file=sys.stderr)
-    params, opt_state, loss = step(params, opt_state, 1)
-    _ = float(loss)
-    t0 = time.time()
-    for k in range(steps):
-        params, opt_state, loss = step(params, opt_state, k)
-    _ = float(loss)  # chain: each step depends on the previous params
-    dt = (time.time() - t0) / steps
-    return batch_size / dt
+    return _scanned_samples_per_sec(
+        step, params, opt_state, steps, batch_size, "train", verbose
+    )
 
 
 def run_train_bench_1k(batch_size=4, n_atoms=1000, steps=20, verbose=False):
@@ -582,8 +633,7 @@ def run_train_bench_1k(batch_size=4, n_atoms=1000, steps=20, verbose=False):
     f_true = jnp.zeros_like(batch[keys.POSITIONS])
     e_true = jnp.zeros((batch_size,), jnp.float32)
 
-    @jax.jit
-    def step(params, opt_state, _k):
+    def step(params, opt_state):
         def loss_fn(p):
             out = model.apply_with_derivatives(params=p, data=batch)
             fmask = batch[keys.NODE_MASK].astype(jnp.float32)[:, None]
@@ -595,22 +645,11 @@ def run_train_bench_1k(batch_size=4, n_atoms=1000, steps=20, verbose=False):
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    t0 = time.time()
-    params, opt_state, loss = step(params, opt_state, 0)
-    _ = float(loss)
     if verbose:
-        print(
-            f"train-1k compile+first step: {time.time() - t0:.1f}s "
-            f"({n_edges} edges/batch)",
-            file=sys.stderr,
-        )
-    params, opt_state, loss = step(params, opt_state, 1)
-    _ = float(loss)
-    t0 = time.time()
-    for k in range(steps):
-        params, opt_state, loss = step(params, opt_state, k)
-    _ = float(loss)
-    return batch_size / ((time.time() - t0) / steps)
+        print(f"train-1k: {n_edges} edges/batch", file=sys.stderr)
+    return _scanned_samples_per_sec(
+        step, params, opt_state, steps, batch_size, "train-1k", verbose
+    )
 
 
 def run_lmax3_bench(n_atoms=4096, r_max=4.0, iters=40, warmup=2, verbose=False):
@@ -706,8 +745,7 @@ def run_train_stress_bench(batch_size=4, n_atoms=64, steps=50, verbose=False):
     e_true = batch[keys.TOTAL_ENERGY].reshape(-1) if keys.TOTAL_ENERGY in batch else jnp.zeros((batch_size,), jnp.float32)
     s_true = jnp.zeros((batch_size, 3, 3), jnp.float32)
 
-    @jax.jit
-    def step(params, opt_state, _k):
+    def step(params, opt_state):
         def loss_fn(p):
             out = model.apply_with_derivatives(params=p, data=batch)
             fmask = batch[keys.NODE_MASK].astype(jnp.float32)[:, None]
@@ -720,18 +758,9 @@ def run_train_stress_bench(batch_size=4, n_atoms=64, steps=50, verbose=False):
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    t0 = time.time()
-    params, opt_state, loss = step(params, opt_state, 0)
-    _ = float(loss)
-    if verbose:
-        print(f"stress-train compile+first: {time.time() - t0:.1f}s", file=sys.stderr)
-    params, opt_state, loss = step(params, opt_state, 1)
-    _ = float(loss)
-    t0 = time.time()
-    for k in range(steps):
-        params, opt_state, loss = step(params, opt_state, k)
-    _ = float(loss)
-    return batch_size / ((time.time() - t0) / steps)
+    return _scanned_samples_per_sec(
+        step, params, opt_state, steps, batch_size, "stress-train", verbose
+    )
 
 
 def run_kernel_smoke(n_atoms=512, verbose=False):

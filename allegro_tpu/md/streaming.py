@@ -197,18 +197,24 @@ def make_streamed_energy_forces_fn(
     with_stress: bool = False,
     checkpoint: bool = True,
 ):
-    """``fn(pos) -> (E, forces)`` (or ``(E, forces, virial)``).
+    """``fn(pos, params, stacked) -> (E, forces)`` (or ``(…, virial)``).
 
     ``pos`` is the GLOBAL padded position array the chunk ``LOCAL_IDX``
-    maps index into. Wrap in ``jax.jit`` at the call site.
+    maps index into. ``params``/``stacked`` are EXPLICIT arguments of the
+    returned function (defaulting to the ones given here): closing over the
+    stacked chunk statics would bake them into the jitted program as HLO
+    constants — at the 100k-atom scale that is hundreds of MB of literal
+    data, which both bloats every compile and overflows remote-compile
+    transports (HTTP 413 through the TPU tunnel, measured r5). As arguments
+    they are ordinary device-resident parameters, uploaded once.
+    Wrap in ``jax.jit`` at the call site.
     """
     import jax
     import jax.numpy as jnp
 
-    stacked_j = {k: jnp.asarray(v) for k, v in stacked.items()}
-    cell0 = stacked_j.get(keys.CELL)
+    default_params, default_stacked = params, stacked
 
-    def chunk_energy(pos, ch, cell):
+    def chunk_energy(pos, params, ch, cell):
         d = dict(ch)
         d[keys.POSITIONS] = jnp.take(pos, ch[LOCAL_IDX], axis=0, mode="clip")
         if cell is not None:
@@ -219,9 +225,10 @@ def make_streamed_energy_forces_fn(
 
     body = jax.checkpoint(chunk_energy) if checkpoint else chunk_energy
 
-    def total_energy(pos, strain):
+    def total_energy(pos, strain, params, stacked):
         eps = 0.5 * (strain + strain.T)
         pos = pos + jnp.einsum("ni,ij->nj", pos, eps, precision="highest")
+        cell0 = stacked.get(keys.CELL)
         if cell0 is not None:
             cell = cell0[0] + jnp.einsum(
                 "fij,jk->fik", cell0[0], eps, precision="highest"
@@ -230,28 +237,30 @@ def make_streamed_energy_forces_fn(
             cell = None
 
         def scan_body(e_acc, ch):
-            return e_acc + body(pos, ch, cell), None
+            return e_acc + body(pos, params, ch, cell), None
 
         e, _ = jax.lax.scan(
-            scan_body, jnp.zeros((), pos.dtype), stacked_j
+            scan_body, jnp.zeros((), pos.dtype), stacked
         )
         return e
 
     if with_stress:
 
-        def fn(pos):
+        def fn(pos, params=default_params, stacked=default_stacked):
             strain0 = jnp.zeros((3, 3), pos.dtype)
             e, grads = jax.value_and_grad(total_energy, argnums=(0, 1))(
-                pos, strain0
+                pos, strain0, params, stacked
             )
             de_dpos, de_deps = grads
             return e, -de_dpos, -de_deps
 
     else:
 
-        def fn(pos):
+        def fn(pos, params=default_params, stacked=default_stacked):
             strain0 = jnp.zeros((3, 3), pos.dtype)
-            e, de_dpos = jax.value_and_grad(total_energy)(pos, strain0)
+            e, de_dpos = jax.value_and_grad(total_energy)(
+                pos, strain0, params, stacked
+            )
             return e, -de_dpos
 
     return fn
@@ -281,7 +290,13 @@ class StreamedEvaluator:
         fn = make_streamed_energy_forces_fn(
             model, params, self.stacked, with_stress=with_stress
         )
+        # params/stacked ride as EXPLICIT jit arguments (device-resident,
+        # uploaded once) — passing them via the closure defaults would bake
+        # them into the compiled program as constants (see
+        # make_streamed_energy_forces_fn)
+        self._params = params
+        self._stacked = jax.device_put(self.stacked) if jit else self.stacked
         self.fn = jax.jit(fn) if jit else fn
 
     def __call__(self, positions):
-        return self.fn(positions)
+        return self.fn(positions, self._params, self._stacked)

@@ -145,6 +145,21 @@ def _stage_policy_parity(result, verbose, budget_s):
     )
 
 
+def _stage_4k_bf16(result, verbose, budget_s):
+    # the 4k flagship with bf16 tensor-track storage: the f32 headline step
+    # is bandwidth-saturated (roofline_frac ~1.1), so halving the tensor
+    # track's bytes is the one remaining traffic lever; its 5e-5
+    # reference-criterion parity is recorded by policy_parity_bf16_track.
+    # Clean subprocess (no trace) so the headline's program stays untouched.
+    r = run_bench_subprocess(
+        4096,
+        timeout=budget_s,
+        env_extra={"BENCH_TENSOR_DTYPE": "bfloat16"},
+    )
+    result["extra"]["us_per_atom_4k_bf16"] = r["value"]
+    result["extra"]["step_ms_4k_bf16"] = r["extra"]["step_ms"]
+
+
 def _stage_train(result, verbose, budget_s):
     result["extra"]["train_samples_per_sec"] = round(
         run_train_bench(verbose=verbose), 2
@@ -249,6 +264,7 @@ def _stage_train_1k(result, verbose, budget_s):
 STAGES = [
     ("us_per_atom_100k", 300, _stage_100k),
     ("policy_parity_bf16_track", 180, _stage_policy_parity),
+    ("us_per_atom_4k_bf16", 240, _stage_4k_bf16),
     ("train_samples_per_sec", 240, _stage_train),
     ("force_mae_vs_f64", 180, _stage_parity),
     ("force_mae_vs_f64_exact", 150, _stage_parity_exact),
