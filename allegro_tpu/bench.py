@@ -532,17 +532,14 @@ def _scanned_samples_per_sec(step_fn, params, opt_state, steps, batch_size,
     @jax.jit
     def run(params, opt_state):
         def body(carry, _):
-            p, o, _prev = carry
+            p, o = carry
             p, o, loss = step_fn(p, o)
-            return (p, o, loss), None
+            return (p, o), loss
 
-        (p, o, loss), _ = jax.lax.scan(
-            body,
-            (params, opt_state, jax.numpy.zeros((), jax.numpy.float32)),
-            None,
-            length=steps,
+        (p, o), losses = jax.lax.scan(
+            body, (params, opt_state), None, length=steps
         )
-        return p, o, loss
+        return p, o, losses[-1]
 
     t0 = time.time()
     params, opt_state, loss = run(params, opt_state)
