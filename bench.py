@@ -293,6 +293,11 @@ def main():
     except TimeoutError as e:
         _log(f"CHIP LOCK NOT ACQUIRED ({e}); proceeding unlocked")
 
+    # once the headline VALUE exists, its enrichment blocks (fwd split, copy
+    # roofline, cost analysis, trace) may not eat more than half the global
+    # budget — the stage registry below carries the VERDICT-mandated record
+    os.environ.setdefault("BENCH_HEADLINE_DEADLINE_S", str(int(BUDGET_S * 0.5)))
+
     _log(f"budget {BUDGET_S:.0f}s; headline stage (n_atoms={n}) starting")
     result = _benchmark_with_fallback(n, verbose)
     stages_report = {"headline": "ok"}
