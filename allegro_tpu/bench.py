@@ -83,9 +83,12 @@ def _flagship_model(avg_num_neighbors, backend, r_max=4.0, remat=False,
         precision = os.environ.get("BENCH_PRECISION") or None
     if precision:
         extra["precision"] = precision
-    # eb=512 + wr=64: big edge blocks amortize the per-grid-step cost and
+    # eb=512 + narrow wr: big edge blocks amortize the per-grid-step cost and
     # the narrow window keeps every one-hot product at one MXU K-tile
-    # (1.27x kernel-suite, 1.42x end-to-end: 2.89 -> 2.04 us/atom at 4k f32).
+    # (1.27x kernel-suite, 1.42x end-to-end: 2.89 -> 2.04 us/atom at 4k f32
+    # with wr=64). r5 window sweep on silicon (4k, both tracks): wr=32 is the
+    # floor of the win (f32 2.04->2.00, bf16 1.905->1.866); wr=16 collapses
+    # to 3.52 (per-window fixed cost dominates); eb=1024 is a wash (2.03).
     # precompute_statics silently degrades wr to eb if the edge distribution
     # rejects the narrow plan (never at crystal density).
     #
@@ -97,7 +100,7 @@ def _flagship_model(avg_num_neighbors, backend, r_max=4.0, remat=False,
     extra["fused_block_edges"] = fused_eb or int(
         os.environ.get("BENCH_FUSED_EB", "512")
     )
-    wr_env = int(os.environ.get("BENCH_WINDOW_ROWS", "64")) or None
+    wr_env = int(os.environ.get("BENCH_WINDOW_ROWS", "32")) or None
     extra["window_rows"] = (
         wr_env if wr_env and wr_env < extra["fused_block_edges"] else None
     )
